@@ -1,0 +1,51 @@
+"""Pipeline configuration (dataclasses; the gin-config analogue,
+reference ``configs/general.gin`` / ``run_action_gin.py:104-119``)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    num_hashes: int = 128          # MinHash signature width K
+    num_bands: int = 32            # b bands of r = K/b rows (s-curve ~0.42)
+    num_buckets: int = 64          # shuffle buckets for band groupby
+    salt_limit: int = 256          # band size above which members are salted
+    stopband_limit: int = 4096     # band size above which the band is dropped
+                                   # (the "Paris"-alias cap analogue,
+                                   # reference README.md:117-119)
+    max_pairs_per_group: int = 200_000  # hard per-bucket-run pair cap
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    embed_dim: int = 256
+    embed_kgram: int = 4
+    # accept rule: est_jaccard >= jaccard_accept AND cosine >= cosine_accept
+    jaccard_accept: float = 0.45
+    cosine_accept: float = 0.60
+    batch_size: int = 8192
+    concurrency: int | None = None  # scorer actor-pool size; None = cpus//4
+
+
+@dataclass(frozen=True)
+class ClusteringConfig:
+    num_buckets: int = 64
+    max_rounds: int = 16           # >= log2(max cluster diameter); star
+                                   # contraction converges in O(log n)
+    # Edge sets at or below this size are solved by a single-task NumPy
+    # union-find (one Ray task, vectorized pointer jumping) — the
+    # distributed star contraction runs above it.  The accepted-pair set
+    # is orders of magnitude smaller than the corpus, so even 100 TB
+    # inputs may fit; raise/lower to taste, 0 forces the distributed path.
+    small_graph_limit: int = 5_000_000
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    clustering: ClusteringConfig = field(default_factory=ClusteringConfig)
+    join_partitions: int | None = None  # hash-shuffle join partitions; None = cpus//2
+    checkpoint_dir: str | None = None  # stage checkpoints + manifests when set

@@ -1,0 +1,124 @@
+"""Corpus-table operators: the record-linkage flagship and its
+SQL-checkable sub-steps, over the deterministic synthetic source-code
+corpus (``input_hint`` schema) generated per scale dir by
+``mel_ray.synth.ensure_corpus``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count
+
+from .config import LinkageConfig
+from .stages import ingest as I
+from .synth import ensure_corpus
+
+
+def _corpus_files(sf_dir: str) -> str:
+    return str(ensure_corpus(sf_dir) / "files.parquet")
+
+
+def corpus_ingest(sf_dir: str):
+    """ingest projection: per-row sha256 + byte length (the content
+    invariant vs the reference corpus, BASELINE.json input_hint)."""
+    ds = I.ingest(I.read_corpus(_corpus_files(sf_dir)))
+    return ds.map_batches(
+        lambda t: t.select(["repo", "path", "commit", "sha256", "content_len"]),
+        batch_format="pyarrow",
+    )
+
+
+def corpus_dup_groups(sf_dir: str):
+    """exact-duplicate content groups: sha256 -> n_copies (D2 recast)."""
+    ds = I.ingest(I.read_corpus(_corpus_files(sf_dir)))
+    return (
+        ds.map_batches(lambda t: t.select(["sha256"]), batch_format="pyarrow")
+        .groupby("sha256")
+        .aggregate(Count(alias_name="n_copies"))
+    )
+
+
+def corpus_rename_counts(sf_dir: str):
+    """rows per canonical repo after the repo-rename broadcast map (the
+    QID-redirect remap analogue, qids_remap.py:35-55)."""
+    corpus = ensure_corpus(sf_dir)
+    import pyarrow.parquet as pq
+
+    ren = pq.read_table(corpus / "repo_renames.parquet").to_pandas()
+    renames = dict(zip(ren.old_repo, ren.new_repo))
+    ds = I.ingest(I.read_corpus(str(corpus / "files.parquet")), renames=renames)
+    return (
+        ds.map_batches(lambda t: t.select(["repo"]), batch_format="pyarrow")
+        .groupby("repo")
+        .aggregate(Count(alias_name="n_files"))
+    )
+
+
+def linkage_clusters(sf_dir: str):
+    """the full flagship pipeline -> (record_id, cluster_id, sha256)."""
+    res = _run(sf_dir)
+    return res.clusters.map_batches(
+        lambda t: t.select(["record_id", "cluster_id", "sha256"]), batch_format="pyarrow"
+    )
+
+
+def linkage_scored_pairs(sf_dir: str):
+    """candidate pairs with scores (id_a, id_b, est_jaccard, cosine,
+    path_jw, accepted)."""
+    res = _run(sf_dir)
+    return res.scored_pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "est_jaccard": pc.round(pc.cast(t["est_jaccard"], pa.float64()), ndigits=4),
+                "cosine": pc.round(pc.cast(t["cosine"], pa.float64()), ndigits=4),
+                "path_jw": pc.round(pc.cast(t["path_jw"], pa.float64()), ndigits=4),
+                "accepted": t["accepted"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def linkage_f1_metrics(sf_dir: str):
+    """pairwise linkage F1 on the corpus's labeled pairs (the gate)."""
+    from .stages.evaluate import linkage_f1
+
+    corpus = ensure_corpus(sf_dir)
+    res = _run(sf_dir)
+    lp = ray.data.read_parquet(str(corpus / "labeled_pairs.parquet"))
+    return linkage_f1(lp, res.clusters)
+
+
+def cluster_size_hist(sf_dir: str):
+    """cluster-size histogram (size -> n_clusters)."""
+    res = _run(sf_dir)
+    sizes = res.clusters.groupby("cluster_id").aggregate(Count(alias_name="cluster_size"))
+    return sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+
+
+def cluster_reps(sf_dir: str):
+    """canonical representative per cluster (J8/A4 recast)."""
+    from .pipelines.linkage import cluster_representatives
+
+    res = _run(sf_dir)
+    return cluster_representatives(res.clusters)
+
+
+_CACHE: dict[str, object] = {}
+
+
+def _run(sf_dir: str):
+    """Run (once per sf_dir per process) the flagship pipeline."""
+    key = str(sf_dir)
+    if key not in _CACHE:
+        from .pipelines.linkage import run_linkage
+
+        _CACHE[key] = run_linkage(_corpus_files(sf_dir), LinkageConfig())
+    return _CACHE[key]

@@ -1,0 +1,265 @@
+"""Driver contract implementation: ``entry`` / ``queries`` / ``oracle_sql``.
+
+Every entry in :func:`queries` is one operator family from SURVEY.md §2
+(the coverage checklist), implemented Ray-Data-first; where the result
+is ANSI-SQL-expressible the matching DuckDB oracle is in
+:func:`oracle_sql` (same column names, same rounding, both engines run
+RE2 regexes).  Corpus-table queries run over the deterministic synthetic
+``input_hint`` corpus generated under ``/tmp/mel_ray_corpus/<sf>/`` —
+the oracle SQL reads the very same parquet files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from . import annops, corpusops, relational, textops
+from .functions.textstats import _MARKER_RES, _SCRIPT_RES, TOKEN_RE
+
+_CORPUS_SF001 = "/tmp/mel_ray_corpus/sf0.01"
+
+
+def entry() -> Any:
+    """Flagship: full record-linkage pipeline on the sf0.001-scale corpus."""
+    return corpusops.linkage_clusters("/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    q: dict[str, Callable[[str], Any]] = {
+        # --- relational operator families (TPC-H-ish tables) ---
+        "grouped_agg": relational.grouped_agg,
+        "filter_project": relational.filter_project,
+        "grouped_topk": relational.grouped_topk,
+        "grouped_argmax": relational.grouped_argmax,
+        "broadcast_join": relational.broadcast_join,
+        "hash_join": relational.hash_join,
+        "semi_join": relational.semi_join,
+        "anti_join": relational.anti_join,
+        "union_distinct": relational.union_distinct,
+        "sort_limit": relational.sort_limit,
+        "per_key_cap": relational.per_key_cap,
+        "distinct_count": relational.distinct_count,
+        "mean_agg": relational.mean_agg,
+        "windowed_agg": relational.windowed_agg,
+        "alias_table": relational.alias_table,
+        # --- text analysis / dedup over documents ---
+        "doc_exact_dedup": textops.doc_exact_dedup,
+        "doc_token_count": textops.doc_token_count,
+        "doc_quality": textops.doc_quality,
+        "doc_lang_id": textops.doc_lang_id,
+        "doc_md5_fingerprint": textops.doc_md5_fingerprint,
+        "doc_winnow_fingerprint": textops.doc_winnow_fingerprint,
+        "doc_simhash": textops.doc_simhash,
+        "doc_minhash_lsh_pairs": textops.doc_minhash_lsh_pairs,
+        "doc_length_histogram": textops.doc_length_histogram,
+        # --- similarity search over embeddings ---
+        "knn_bruteforce": annops.knn_bruteforce,
+        "knn_lsh": annops.knn_lsh,
+        "emb_near_dupes": annops.emb_near_dupes,
+        "emb_centroids": annops.emb_centroids,
+        # --- the record-linkage flagship over the input_hint corpus ---
+        "corpus_ingest": corpusops.corpus_ingest,
+        "corpus_dup_groups": corpusops.corpus_dup_groups,
+        "corpus_rename_counts": corpusops.corpus_rename_counts,
+        "linkage_clusters": corpusops.linkage_clusters,
+        "linkage_scored_pairs": corpusops.linkage_scored_pairs,
+        "linkage_f1_metrics": corpusops.linkage_f1_metrics,
+        "cluster_size_hist": corpusops.cluster_size_hist,
+        "cluster_reps": corpusops.cluster_reps,
+    }
+    return q
+
+
+def _lang_id_sql() -> str:
+    """CASE expression mirroring functions.textstats.lang_id exactly."""
+    script_cases = "\n".join(
+        f"      WHEN regexp_matches(text, '{pat}') THEN '{code}'" for code, pat in _SCRIPT_RES
+    )
+    # marker argmax with first-max-wins tie-break == chained >= comparisons
+    counts = {
+        code: f"length(regexp_extract_all(text, '{pat}'))" for code, pat in _MARKER_RES
+    }
+    es, de, fr = counts["es"], counts["de"], counts["fr"]
+    return f"""
+    SELECT doc_id,
+      CASE
+{script_cases}
+      WHEN {es} = 0 AND {de} = 0 AND {fr} = 0 THEN 'en'
+      WHEN {es} >= {de} AND {es} >= {fr} THEN 'es'
+      WHEN {de} >= {fr} THEN 'de'
+      ELSE 'fr'
+      END AS pred_lang
+    FROM documents
+    """
+
+
+def oracle_sql() -> dict[str, str]:
+    files = f"read_parquet('{_CORPUS_SF001}/files.parquet')"
+    renames = f"read_parquet('{_CORPUS_SF001}/repo_renames.parquet')"
+    tok = TOKEN_RE
+    return {
+        "grouped_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "filter_project": """
+            SELECT l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem WHERE l_shipdate < '1996-01-01' GROUP BY 1
+        """,
+        "grouped_topk": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+              FROM part) WHERE rn <= 3
+        """,
+        "grouped_argmax": """
+            SELECT c_nationkey, c_custkey, c_acctbal FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                     row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer) WHERE rn = 1
+        """,
+        "broadcast_join": """
+            SELECT p.p_brand,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1
+        """,
+        "hash_join": """
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+        """,
+        "union_distinct": """
+            SELECT nationkey, count(*) AS n_refs FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier)
+            GROUP BY 1
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "per_key_cap": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber ASC, l_quantity ASC) AS rn
+              FROM lineitem) WHERE rn <= 2
+        """,
+        "distinct_count": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY 1
+        """,
+        "mean_agg": """
+            SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "windowed_agg": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "alias_table": """
+            SELECT user_id, event_type, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                        ORDER BY count(*) DESC, event_type ASC) AS rn
+              FROM events GROUP BY user_id, event_type)
+            WHERE rn <= 2
+        """,
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha
+            FROM documents GROUP BY text
+        """,
+        "doc_token_count": f"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '{tok}')) AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   length(regexp_extract_all(text, '{tok}')) AS n_words,
+                   round(length(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                         / greatest(length(text), 1), 4) AS alpha_ratio,
+                   round(length(regexp_extract_all(text, '[A-Z]')) * 1.0
+                         / greatest(length(text), 1), 4) AS upper_ratio,
+                   round(length(regexp_extract_all(text, '[0-9]')) * 1.0
+                         / greatest(length(text), 1), 4) AS digit_ratio,
+                   round(length(regexp_extract_all(text, '[ \t\n]')) * 1.0
+                         / greatest(length(text), 1), 4) AS space_ratio,
+                   round(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n]')) * 1.0
+                         / greatest(length(text), 1), 4) AS punct_ratio
+            FROM documents
+        """,
+        "doc_lang_id": _lang_id_sql(),
+        "doc_md5_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "doc_length_histogram": """
+            SELECT (n_chars // 100) * 100 AS len_bucket, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 20),
+            sims AS (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS s
+              FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id)
+            SELECT query_id, neighbor_id, round(s, 4) AS cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY s DESC, neighbor_id ASC) AS rn
+              FROM sims) WHERE rn <= 5
+        """,
+        "emb_near_dupes": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "emb_centroids": """
+            SELECT label, i AS dim_i, round(avg(embedding[i]), 4) AS avg_val
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY 1, 2
+        """,
+        "corpus_ingest": f"""
+            SELECT repo, path, "commit", sha256(content) AS sha256,
+                   strlen(content) AS content_len
+            FROM {files}
+        """,
+        "corpus_dup_groups": f"""
+            SELECT sha256(content) AS sha256, count(*) AS n_copies
+            FROM {files} GROUP BY 1
+        """,
+        "corpus_rename_counts": f"""
+            SELECT coalesce(r.new_repo, f.repo) AS repo, count(*) AS n_files
+            FROM {files} f LEFT JOIN {renames} r ON f.repo = r.old_repo
+            GROUP BY 1
+        """,
+        # linkage_clusters / linkage_scored_pairs / linkage_f1_metrics /
+        # cluster_size_hist / cluster_reps / doc_winnow_fingerprint /
+        # doc_simhash / doc_minhash_lsh_pairs / knn_lsh are intentionally
+        # absent: non-SQL-expressible (LSH banding, iterative union-find,
+        # hashed-ngram embeddings); the driver records rows-only checks and
+        # tests/ carries naive-Python oracles for each.
+    }

@@ -1,0 +1,165 @@
+"""Batch string-similarity kernels: Levenshtein ratio & Jaro-Winkler.
+
+The reference scores candidates only by embedding dot product
+(``src/models/searchers/brute_force_searcher.py:28-36``); the north rule
+adds Jaro-Winkler / Levenshtein string similarity on ``path`` and
+``repo``.  rapidfuzz is not available in this environment, so both are
+implemented here:
+
+* ``levenshtein_ratio`` — a *pair-batch-vectorized* DP: the classic
+  O(m*n) recurrence iterated over character positions with NumPy over
+  the whole pair batch at once (thousands of pairs advance per NumPy
+  op).  Strings are truncated to ``max_len`` (paths/repo names are
+  short).
+* ``jaro_winkler`` — vectorized over the pair batch per character
+  position (match-window flagging with NumPy boolean ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .hashing import string_array_buffers
+
+
+def _pad_matrix(arr: pa.Array | pa.ChunkedArray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P, max_len) uint8 char matrix (0-padded) + lengths, zero-copy-ish."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, offsets = string_array_buffers(arr)
+    lens = np.minimum(offsets[1:] - offsets[:-1], max_len).astype(np.int64)
+    p = len(lens)
+    out = np.zeros((p, max_len), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        row = np.repeat(np.arange(p), lens)
+        col = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        src = np.repeat(offsets[:-1], lens) + col
+        out[row, col] = data[src]
+    return out, lens
+
+
+def levenshtein_ratio(
+    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray, max_len: int = 128
+) -> np.ndarray:
+    """1 - dist/max(len) for each pair, float32 in [0, 1].
+
+    DP rows advance together for the whole batch: ``cur[j]`` is a vector
+    over pairs.  Complexity O(max_len^2) NumPy ops of width P.
+    """
+    A, la = _pad_matrix(a, max_len)
+    B, lb = _pad_matrix(b, max_len)
+    p = len(la)
+    if p == 0:
+        return np.empty(0, dtype=np.float32)
+    m = int(la.max(initial=0))
+    n = int(lb.max(initial=0))
+    prev = np.broadcast_to(np.arange(n + 1, dtype=np.int32), (p, n + 1)).copy()
+    # mask positions beyond each string's length so they never win the min
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1][:, None]  # (p,1)
+        sub = prev[:, :-1] + (ai != B[:, :n]).astype(np.int32)
+        dele = prev[:, 1:] + 1
+        cur[:, 1:] = np.minimum(sub, dele)
+        # insertion needs left-to-right scan: cur[j] = min(cur[j], cur[j-1]+1)
+        np.minimum.accumulate(
+            cur + np.arange(n + 1, dtype=np.int32) * -1, axis=1, out=cur
+        )
+        cur += np.arange(n + 1, dtype=np.int32)
+        # rows where i > len(a): distance row is meaningless; freeze prev
+        done = la < i
+        cur[done] = prev[done]
+        prev = cur
+    dist = prev[np.arange(p), lb]
+    denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
+    out = 1.0 - dist.astype(np.float32) / denom
+    both_empty = (la == 0) & (lb == 0)
+    out[both_empty] = 1.0
+    return out.astype(np.float32)
+
+
+def jaro_winkler(
+    a: pa.Array | pa.ChunkedArray,
+    b: pa.Array | pa.ChunkedArray,
+    max_len: int = 64,
+    prefix_weight: float = 0.1,
+) -> np.ndarray:
+    """Jaro-Winkler similarity per pair, float32 in [0, 1], batch-vectorized."""
+    A, la = _pad_matrix(a, max_len)
+    B, lb = _pad_matrix(b, max_len)
+    p = len(la)
+    if p == 0:
+        return np.empty(0, dtype=np.float32)
+    m = int(max(la.max(initial=0), lb.max(initial=0)))
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    matched_a = np.zeros((p, max_len), dtype=bool)
+    matched_b = np.zeros((p, max_len), dtype=bool)
+    jcols = np.arange(max_len)
+    for i in range(m):
+        active = i < la
+        if not active.any():
+            break
+        lo = np.maximum(i - window, 0)[:, None]
+        hi = np.minimum(i + window + 1, lb)[:, None]
+        cand = (
+            (jcols[None, :] >= lo)
+            & (jcols[None, :] < hi)
+            & (~matched_b)
+            & (B == A[:, i][:, None])
+            & active[:, None]
+        )
+        # first candidate j per row (greedy, as in the classic algorithm)
+        has = cand.any(axis=1)
+        first = np.argmax(cand, axis=1)
+        rows = np.flatnonzero(has)
+        matched_b[rows, first[rows]] = True
+        matched_a[rows, i] = True
+
+    mcount = matched_a.sum(axis=1).astype(np.float64)
+
+    # transpositions: compare matched chars of a (in order) vs matched of b
+    t = np.zeros(p, dtype=np.float64)
+    ga = _gather_matched(A, matched_a)
+    gb = _gather_matched(B, matched_b)
+    k = min(ga.shape[1], gb.shape[1])
+    if k:
+        valid = np.arange(k)[None, :] < mcount[:, None]
+        t = ((ga[:, :k] != gb[:, :k]) & valid).sum(axis=1) / 2.0
+
+    la_f = np.maximum(la, 1).astype(np.float64)
+    lb_f = np.maximum(lb, 1).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jaro = np.where(
+            mcount > 0,
+            (mcount / la_f + mcount / lb_f + (mcount - t) / np.maximum(mcount, 1)) / 3.0,
+            0.0,
+        )
+    both_empty = (la == 0) & (lb == 0)
+    jaro[both_empty] = 1.0
+
+    # Winkler prefix boost (common prefix up to 4)
+    pref = np.zeros(p, dtype=np.int64)
+    upto = min(4, max_len)
+    still = np.ones(p, dtype=bool)
+    for i in range(upto):
+        eq = (A[:, i] == B[:, i]) & (i < la) & (i < lb) & still
+        pref += eq
+        still &= eq
+    jw = jaro + pref * prefix_weight * (1.0 - jaro)
+    return jw.astype(np.float32)
+
+
+def _gather_matched(M: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Row-wise compaction of masked chars into a left-aligned matrix."""
+    counts = mask.sum(axis=1)
+    width = int(counts.max(initial=0))
+    p = M.shape[0]
+    out = np.zeros((p, max(width, 1)), dtype=np.uint8)
+    rows, cols = np.nonzero(mask)
+    pos = np.arange(len(rows)) - np.repeat(np.cumsum(counts) - counts, counts)
+    out[rows, pos] = M[rows, cols]
+    return out

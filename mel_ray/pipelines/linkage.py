@@ -1,0 +1,109 @@
+"""The flagship end-to-end record-linkage pipeline (SURVEY.md §7.0).
+
+    read_parquet(repo, path, commit, lang, content)
+      -> ingest      (sha256, record_id, repo canonicalization)  [stateless tasks]
+      -> featurize   (minhash sig, hashed-ngram embedding)       [stateless tasks]
+      -> blocking    (band expansion -> bucketed groupby pairs)  [hash shuffle]
+      -> attach      (pairs ⋈ features x2)                      [shuffle join]
+      -> scoring     (actor pool: est-jaccard, cosine, JW/Lev)   [actor pool]
+      -> clustering  (star-contraction connected components)     [k x groupby]
+      -> clusters.parquet / metrics                              [write]
+
+Every stage streams; only the candidate-edge set (orders of magnitude
+smaller than the corpus) is ever materialized, for the CC iteration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import LinkageConfig
+from ..stages import blocking as B
+from ..stages import clustering as C
+from ..stages import ingest as I
+from ..stages import scoring as S
+from ..state.manifest import StageCheckpointer
+
+
+@dataclass
+class LinkageResult:
+    clusters: "ray.data.Dataset"          # record_id, cluster_id, repo, path, sha256
+    scored_pairs: "ray.data.Dataset"      # id_a, id_b, features..., accepted
+    stats: dict[str, Any]
+
+
+def run_linkage(
+    corpus_path: str,
+    cfg: LinkageConfig | None = None,
+    renames: dict[str, str] | None = None,
+) -> LinkageResult:
+    cfg = cfg or LinkageConfig()
+    from ..util import auto_join_partitions
+
+    join_parts = auto_join_partitions(cfg.join_partitions)
+    ckpt = StageCheckpointer(cfg.checkpoint_dir, fingerprint_inputs=[corpus_path])
+
+    records = I.ingest(I.read_corpus(corpus_path), renames=renames)
+
+    features = ckpt.through(
+        "features",
+        lambda: records.map_batches(
+            lambda b: B.featurize_batch(
+                b, cfg.blocking, cfg.scoring.embed_dim, cfg.scoring.embed_kgram
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+    )
+
+    pairs = ckpt.through("pairs", lambda: B.candidate_pairs(features, cfg.blocking))
+
+    scored = ckpt.through(
+        "scored",
+        lambda: S.score_pairs(
+            S.attach_features(pairs, features, join_parts),
+            cfg.scoring,
+            cfg.blocking,
+        ),
+    )
+
+    edges = scored.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["accepted"], True))
+        .select(["id_a", "id_b"])
+        .rename_columns(["u", "v"]),
+        batch_format="pyarrow",
+    )
+    comp = ckpt.through("components", lambda: C.connected_components(edges, cfg.clustering))
+
+    slim = records.map_batches(
+        lambda t: t.select(["record_id", "repo", "path", "sha256"]), batch_format="pyarrow"
+    )
+    clusters = ckpt.through(
+        "clusters", lambda: C.assign_clusters(slim, comp, join_parts)
+    )
+    return LinkageResult(clusters=clusters, scored_pairs=scored, stats=ckpt.stats)
+
+
+def cluster_representatives(
+    clusters: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """One canonical representative per cluster: the min record_id
+    (the reference's "pick canonical page per entity" — J8/A4,
+    ``multilingual_dataset/creator.py:94-132``)."""
+    return (
+        clusters.groupby("cluster_id")
+        .min("record_id")
+        .map_batches(
+            lambda t: t.rename_columns(["cluster_id", "representative_id"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def cluster_sizes(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
+    return clusters.groupby("cluster_id").count()

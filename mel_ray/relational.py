@@ -1,0 +1,295 @@
+"""Relational operator implementations over the testdata tables.
+
+Each function is one operator family from SURVEY.md §2 expressed
+Ray-Data-first (vectorized ``map_batches``, ``groupby``/``aggregate``
+shuffles, broadcast small sides) and has an exact DuckDB oracle in
+``__ray_entry__.oracle_sql``.  Column names match the SQL on purpose —
+the driver hash-compares values by sorted column name.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+from .util import auto_join_partitions
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- A3/A5: grouped aggregate (pre-aggregated per batch, then shuffled) ----
+def grouped_agg(sf_dir: str):
+    """lineitem -> per (returnflag, linestatus): sum qty, sum price, rows.
+
+    Partial aggregation inside map_batches (one row per key per batch)
+    shrinks the shuffle by ~batch_size/k — the pattern the guide calls
+    combiner-before-groupby; the reference's grouped counts are A3
+    (creator.py:151-171)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"), n_rows=("l_quantity", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+    return out.map_batches(_round_cols(["sum_qty", "sum_price"]), batch_format="pyarrow")
+
+
+def _round_cols(cols, nd=2):
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                i = t.schema.get_field_index(c)
+                t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd))
+        return t
+
+    return f
+
+
+# --- M1-M3/F: vectorized filter + project + compute -----------------------
+def filter_project(sf_dir: str):
+    """shipped-before-1996 revenue per returnflag (Arrow kernels only)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pc.cast(
+            pa.scalar(datetime.date(1996, 1, 1)), t.schema.field("l_shipdate").type
+        )
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_returnflag": t["l_returnflag"], "revenue": rev})
+
+    out = ds.map_batches(f, batch_format="pyarrow").groupby("l_returnflag").aggregate(
+        Sum("revenue", alias_name="revenue")
+    )
+    return out.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+
+
+# --- A1/A2/O2: grouped top-k ----------------------------------------------
+def grouped_topk(sf_dir: str, k: int = 3):
+    """top-k parts per brand by (retailprice desc, partkey asc) — the
+    alias-table "most_common(R) per mention" shape (all_languages.py:115)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def top(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True])
+        return g.head(k)
+
+    return ds.groupby("p_brand").map_groups(top, batch_format="pandas")
+
+
+# --- A4/J8: grouped argmax with deterministic tie-break -------------------
+def grouped_argmax(sf_dir: str):
+    """per nation: the customer with max acctbal (ties -> min custkey) —
+    the "elect canonical page per entity" recast (creator.py:179-206)."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        return g.head(1)
+
+    return ds.groupby("c_nationkey").map_groups(pick, batch_format="pandas")
+
+
+# --- J2: broadcast (map-side) join ----------------------------------------
+def broadcast_join(sf_dir: str):
+    """revenue per p_brand: part is the small side, shipped via ray.put
+    once and probed per batch (the qid-remap broadcast pattern,
+    qids_remap.py:35-55) — no shuffle of the big side."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(part.p_partkey, part.p_brand)))
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    class Probe:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_partkey"].to_numpy()
+            brands = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"p_brand": pa.array(brands, pa.string()), "revenue": rev})
+
+    out = (
+        ds.map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=2)
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+
+
+# --- J1: large-large hash join --------------------------------------------
+def hash_join(sf_dir: str):
+    """lineitem ⋈ orders (hash-shuffle join) -> per orderpriority count +
+    revenue (J1: the token->embedding hash join, find_recall.py:120-133)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=auto_join_partitions(None),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderpriority": t["o_orderpriority"], "revenue": r})
+
+    out = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+    )
+    return out.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+
+
+# --- M14/J3: semi join; J5/D5: anti join ----------------------------------
+def _urgent_custkeys(sf_dir: str) -> pa.Array:
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    keys = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).unique("o_custkey")
+    return pa.array(sorted(keys))
+
+
+def semi_join(sf_dir: str):
+    """customers with >=1 URGENT order — broadcast key-set semi-join
+    (``pc.is_in``; _remove_when_qid_missing, datasets.py:95-101)."""
+    keys = _urgent_custkeys(sf_dir)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)), batch_format="pyarrow"
+    )
+
+
+def anti_join(sf_dir: str):
+    """customers with no URGENT order (inverted membership; the
+    negative-sampler anti-join, negative_sampler.py:98-109)."""
+    keys = _urgent_custkeys(sf_dir)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
+        batch_format="pyarrow",
+    )
+
+
+# --- D1/D3: union + distinct ----------------------------------------------
+def union_distinct(sf_dir: str):
+    """distinct nation keys present in customer ∪ supplier (ChainStep +
+    dedup, utils/chain.py:5-17 + only_once_dataset.py:8-23)."""
+    c = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    s = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow"
+    )
+    u = c.union(s)
+    return u.groupby("nationkey").aggregate(Count(alias_name="n_refs"))
+
+
+# --- O3/O9: global sort + limit -------------------------------------------
+def sort_limit(sf_dir: str, n: int = 10):
+    """top-n orders by totalprice (range-shuffle sort, deterministic
+    tie-break on orderkey; _sort_by_output analogue, loaders.py:23-33)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # sort by (-price, key) via a compound sort key for a deterministic order
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(n)
+    return top
+
+
+# --- O10: per-key cap ------------------------------------------------------
+def per_key_cap(sf_dir: str, cap: int = 2):
+    """<= cap lineitems per order, in linenumber order (max_per_qid cap,
+    index/index.py:102-120)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        # l_quantity breaks (orderkey, linenumber) ties deterministically
+        return group.sort_values(["l_linenumber", "l_quantity"]).head(cap)
+
+    return ds.groupby("l_orderkey").map_groups(head, batch_format="pandas")
+
+
+# --- A10: distinct count ---------------------------------------------------
+def distinct_count(sf_dir: str):
+    """distinct customers per orderpriority (np.unique diagnostics, A10)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_custkey"])
+        .aggregate(Count(alias_name="c"))
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+# --- A7/A8: mean aggregate -------------------------------------------------
+def mean_agg(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = ds.groupby("l_returnflag").aggregate(Mean("l_quantity", alias_name="avg_qty"))
+    return out.map_batches(_round_cols(["avg_qty"], nd=4), batch_format="pyarrow")
+
+
+# --- §2.9: tumbling event-time window -------------------------------------
+def windowed_agg(sf_dir: str):
+    """events -> per (event_type, hour window): count + sum(value).
+    Ray Data has no watermarks; bounded event-time windows are exactly a
+    grouped aggregate on the truncated timestamp (SURVEY.md §2.9)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "window_start": w, "value": t["value"]})
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(_round_cols(["sum_value"]), batch_format="pyarrow")
+
+
+# --- A1 full analogue: alias table ----------------------------------------
+def alias_table(sf_dir: str, r: int = 2):
+    """per user: top-R event types by count (count desc, type asc) — the
+    mention->top-R-QIDs alias table verbatim (all_languages.py:93-115)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n"))
+
+    def top(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["n", "event_type"], ascending=[False, True])
+        return g.head(r)
+
+    return counts.groupby("user_id").map_groups(top, batch_format="pandas")

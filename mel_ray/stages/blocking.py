@@ -1,0 +1,234 @@
+"""Blocking stage: MinHash-LSH band keys -> candidate pairs.
+
+Candidate-generation recast of the reference's alias table / OLPEAT
+(``src/baselines/string_alias_tables/all_languages.py:93-115``,
+``src/baselines/olpeat/find_recall.py:76-91``): where the reference
+groups by exact mention-string / token-array keys, we group by LSH band
+keys so *near*-duplicate content collides (SURVEY.md §2.7 D6 — the
+architectural pivot).
+
+Dataflow::
+
+    records --map_batches--> features (record_id, sig, emb, path, repo)
+    features --map_batches--> bands (record_id, band_id, band_hash, bucket)
+    bands --groupby(bucket).map_groups--> candidate pairs (id_a < id_b)
+    pairs --groupby(pair bucket).map_groups--> unique pairs
+
+The only wide ops are two bucketed ``groupby`` shuffles over a fixed,
+small number of buckets; inside each bucket everything is NumPy run-
+detection over sorted arrays — no per-band Python, no per-row Python.
+
+Skew handling (north rule: "salted band keys to defuse skew"):
+
+* band runs larger than ``salt_limit`` are split into
+  ``ceil(size/salt_limit)`` deterministic sub-groups by a salt hash of
+  ``record_id`` — pair generation is quadratic per band, so hot bands
+  (license/boilerplate content) must be bounded;
+* runs larger than ``stopband_limit`` are dropped entirely, the
+  stop-"word" cap analogue of the reference's per-token-array top-R cap
+  (README.md:117-119).  Every drop is counted in the emitted
+  ``__stats`` rows so lineage manifests can account for them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..config import BlockingConfig
+from ..functions.embed import embed_strings
+from ..functions.hashing import U64, splitmix64
+from ..functions.minhash import band_keys, minhash_signature
+from ..functions.shingles import line_shingles
+
+
+def featurize_batch(batch: pa.Table, cfg: BlockingConfig, embed_dim: int, embed_k: int) -> pa.Table:
+    """records -> per-record blocking/scoring features (one row per row)."""
+    content = batch["content"]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    values, offsets = line_shingles(content)
+    sig = minhash_signature(values, offsets, cfg.num_hashes)
+    emb = embed_strings(content, dim=embed_dim, k=embed_k)
+    # sig/emb travel as fixed-width binary blobs: joinable by Acero
+    # (list payloads are not), decoded zero-copy with np.frombuffer.
+    return pa.table(
+        {
+            "record_id": batch["record_id"],
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "sig": _binary_rows(np.ascontiguousarray(sig)),
+            "emb": _binary_rows(np.ascontiguousarray(emb.astype(np.float32))),
+        }
+    )
+
+
+def _binary_rows(mat: np.ndarray) -> pa.Array:
+    """(N, W)-matrix -> binary array of N rows of W*itemsize bytes, zero-copy."""
+    n, _ = mat.shape
+    row_bytes = mat.dtype.itemsize * mat.shape[1]
+    data = pa.py_buffer(mat.tobytes())
+    offsets = pa.py_buffer(np.arange(0, (n + 1) * row_bytes, row_bytes, dtype=np.int32).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+
+
+def binary_matrix(col: pa.Array | pa.ChunkedArray, dtype) -> np.ndarray:
+    """Inverse of :func:`_binary_rows`: binary column -> (N, W) ndarray view."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buffers = col.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(buffers[2], dtype=dtype)
+    itemsize = np.dtype(dtype).itemsize
+    width = (offsets[1] - offsets[0]) // itemsize if len(col) else 0
+    start = offsets[0] // itemsize
+    return data[start : start + len(col) * width].reshape(len(col), width)
+
+
+def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
+    """features -> b band rows per record (the flat_map row expansion,
+    analogue of DaMuELLinkProcessor's entity->links expansion,
+    reference ``loaders/damuel.py:74-116``)."""
+    sig = binary_matrix(batch["sig"], np.uint64)
+    band_id, band_hash = band_keys(sig, cfg.num_bands)
+    rid = np.repeat(batch["record_id"].to_numpy(), cfg.num_bands)
+    bucket = (band_hash % U64(cfg.num_buckets)).astype(np.int32)
+    return pa.table(
+        {
+            "record_id": pa.array(rid),
+            "band_hash": pa.array(band_hash.view(np.int64)),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def _emit_pairs_for_bucket(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataFrame:
+    """Vectorized pair emission for all band runs inside one bucket."""
+    bh = group["band_hash"].to_numpy()
+    rid = group["record_id"].to_numpy()
+    order = np.lexsort((rid, bh))
+    bh, rid = bh[order], rid[order]
+    # dedup (band, record) duplicates, then find run boundaries per band hash
+    keep = np.ones(len(bh), dtype=bool)
+    keep[1:] = (np.diff(bh) != 0) | (np.diff(rid) != 0)
+    bh, rid = bh[keep], rid[keep]
+    change = np.flatnonzero(np.diff(bh) != 0) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bh)]])
+    lens = ends - starts
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    n_dropped_bands = 0
+    n_salted_bands = 0
+
+    # stopbands: drop mega-runs entirely
+    live = lens >= 2
+    drop = lens > cfg.stopband_limit
+    n_dropped_bands = int(drop.sum())
+    live &= ~drop
+
+    # salted runs: deterministically split members into sub-groups
+    salted = live & (lens > cfg.salt_limit)
+    n_salted_bands = int(salted.sum())
+    for idx in np.flatnonzero(salted):
+        s, e = starts[idx], ends[idx]
+        members = rid[s:e]
+        k = int(np.ceil((e - s) / cfg.salt_limit))
+        sub = (splitmix64(members.view(U64)) % U64(k)).astype(np.int64)
+        for g in range(k):
+            mem = np.sort(members[sub == g])
+            if len(mem) >= 2:
+                iu, ju = np.triu_indices(len(mem), k=1)
+                out_a.append(mem[iu])
+                out_b.append(mem[ju])
+
+    # normal runs, grouped by run length for fully vectorized emission
+    normal = live & ~salted
+    for L in np.unique(lens[normal]):
+        idxs = np.flatnonzero(normal & (lens == L))
+        # gather members matrix (num_runs, L), sort rows for canonical pairs
+        mem = rid[starts[idxs][:, None] + np.arange(L)[None, :]]
+        mem = np.sort(mem, axis=1)
+        iu, ju = np.triu_indices(L, k=1)
+        if len(idxs) * len(iu) > cfg.max_pairs_per_group:
+            # hard cap: emit star pairs to the min member only
+            a = np.repeat(mem[:, 0], L - 1)
+            b = mem[:, 1:].reshape(-1)
+            out_a.append(a)
+            out_b.append(b)
+        else:
+            out_a.append(mem[:, iu].reshape(-1))
+            out_b.append(mem[:, ju].reshape(-1))
+
+    if out_a:
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+    else:
+        a = np.empty(0, dtype=np.int64)
+        b = np.empty(0, dtype=np.int64)
+    # one stats row per bucket rides along (band accounting for the
+    # lineage manifest); callers filter it out by id_a == -1
+    stats_a = np.array([-1], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "id_a": np.concatenate([a, stats_a]),
+            "id_b": np.concatenate([b, np.array([-1], dtype=np.int64)]),
+            "dropped_bands": np.concatenate(
+                [np.zeros(len(a), np.int32), np.array([n_dropped_bands], np.int32)]
+            ),
+            "salted_bands": np.concatenate(
+                [np.zeros(len(a), np.int32), np.array([n_salted_bands], np.int32)]
+            ),
+        }
+    )
+
+
+def candidate_pairs(features: "ray.data.Dataset", cfg: BlockingConfig) -> "ray.data.Dataset":
+    """features -> globally-unique candidate pairs (id_a < id_b)."""
+    bands = features.map_batches(
+        lambda b: expand_bands_batch(b, cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = bands.groupby("bucket").map_groups(
+        lambda g: _emit_pairs_for_bucket(g, cfg),
+        batch_format="pandas",
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
+            ["id_a", "id_b"]
+        ),
+        batch_format="pyarrow",
+    )
+    return dedup_pairs(pairs, cfg.num_buckets)
+
+
+def dedup_pairs(pairs: "ray.data.Dataset", num_buckets: int) -> "ray.data.Dataset":
+    """Global pair dedup (multi-band duplicates; D2 analogue —
+    ``OnlyOnceDataset``, reference ``only_once_dataset.py:8-23`` — made
+    deterministic under a shuffle: bucket by pair hash, unique within)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_pairs64
+
+        h = hash_pairs64(batch["id_a"].to_numpy(), batch["id_b"].to_numpy())
+        return batch.append_column(
+            "bucket", pa.array((h % U64(num_buckets)).astype(np.int32))
+        )
+
+    def uniq(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[["id_a", "id_b"]]
+        arr = df.to_numpy()
+        order = np.lexsort((arr[:, 1], arr[:, 0]))
+        arr = arr[order]
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = (np.diff(arr[:, 0]) != 0) | (np.diff(arr[:, 1]) != 0)
+        return pd.DataFrame({"id_a": arr[keep, 0], "id_b": arr[keep, 1]})
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pandas")
+    )

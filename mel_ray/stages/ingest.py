@@ -1,0 +1,73 @@
+"""Ingest stage: canonicalize once, verify everywhere.
+
+Recast of the reference's loader-level canonicalization — the QID remap
+applied at every load (``src/utils/qids_remap.py:35-55`` via the
+decorator at ``src/utils/loaders.py:37``) becomes the repo-rename
+broadcast map; the per-row ``sha256(content)`` is the invariant the
+north rule checks against the reference corpus (BASELINE.json
+``input_hint``).
+
+``record_id`` is a deterministic 63-bit fingerprint of
+``(repo, path, commit)`` — order-free, so ids are stable under any
+block/task scheduling (SURVEY.md §4 "Determinism vs parallelism"). At
+10^12-file scale a 128-bit id would be used instead; the kernel is the
+same.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..functions.hashing import hash_pairs64, hash_strings64, sha256_hex
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def record_fingerprint(
+    repo: pa.Array | pa.ChunkedArray,
+    path: pa.Array | pa.ChunkedArray,
+    commit: pa.Array | pa.ChunkedArray,
+) -> np.ndarray:
+    """int64 (positive) deterministic record id."""
+    h = hash_pairs64(hash_pairs64(hash_strings64(repo), hash_strings64(path)), hash_strings64(commit))
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
+def ingest_batch(batch: pa.Table, renames: dict[str, str] | None = None) -> pa.Table:
+    """Arrow-in/Arrow-out: add record_id, sha256, content_len; apply the
+    repo-rename canonicalization map (broadcast small side)."""
+    repo = batch["repo"]
+    if renames:
+        # vectorized dict-lookup remap (reference: dense-array remap,
+        # qids_remap.py:35-55); small map -> index_in + take
+        keys = pa.array(list(renames.keys()), pa.string())
+        vals = pa.array(list(renames.values()), pa.string())
+        idx = pc.index_in(repo, value_set=keys)
+        replacement = pc.take(vals, idx)
+        repo = pc.if_else(pc.is_valid(idx), replacement, repo)
+        if isinstance(repo, pa.ChunkedArray):
+            repo = repo.combine_chunks()
+        batch = batch.set_column(batch.schema.get_field_index("repo"), "repo", repo)
+    rid = record_fingerprint(batch["repo"], batch["path"], batch["commit"])
+    sha = sha256_hex(batch["content"])
+    clen = pc.binary_length(pc.cast(batch["content"], pa.binary()))
+    return (
+        batch.append_column("record_id", pa.array(rid))
+        .append_column("sha256", sha)
+        .append_column("content_len", pc.cast(clen, pa.int64()))
+    )
+
+
+def read_corpus(corpus_path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Pruned parquet read of the input table (SURVEY.md §2.1 S1)."""
+    return ray.data.read_parquet(corpus_path, columns=columns or CORPUS_COLUMNS)
+
+
+def ingest(ds: "ray.data.Dataset", renames: dict[str, str] | None = None) -> "ray.data.Dataset":
+    return ds.map_batches(
+        lambda b: ingest_batch(b, renames), batch_format="pyarrow", zero_copy_batch=True
+    )

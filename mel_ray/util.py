@@ -1,0 +1,27 @@
+"""Small runtime helpers."""
+
+from __future__ import annotations
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total CPUs of the (already initialised) Ray cluster; never inits Ray."""
+    import ray
+
+    if not ray.is_initialized():
+        return default
+    return int(ray.cluster_resources().get("CPU", default))
+
+
+def auto_join_partitions(requested: int | None) -> int:
+    """Hash-join partition count that cannot starve a small node: the
+    aggregator actors of one join stay under ~half the CPUs."""
+    if requested is not None:
+        return requested
+    return max(2, cluster_cpus() // 2)
+
+
+def auto_pool_size(requested: int | None) -> int:
+    """Actor-pool size leaving CPU room for the feeding/consuming stages."""
+    if requested is not None:
+        return requested
+    return max(2, cluster_cpus() // 4)

@@ -1,0 +1,217 @@
+"""Unit tests for the vectorized kernels vs naive Python oracles.
+
+Mirrors the reference's oracle-cross-check strategy (SURVEY.md §5:
+``SimplifiedBruteForceSearcher`` is the oracle for the optimized
+searchers, tests/models/test_recall_calculator.py:48-61).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mel_ray.functions.hashing import (
+    hash_strings64,
+    sha256_hex,
+    string_array_buffers,
+    substring_hasher,
+)
+from mel_ray.functions.minhash import (
+    band_keys,
+    estimate_jaccard,
+    exact_jaccard,
+    minhash_signature,
+)
+from mel_ray.functions.shingles import char_kgram_hashes, line_shingles, word_ngram_hashes
+from mel_ray.functions.simhash import hamming64, simhash64
+from mel_ray.functions.strsim import jaro_winkler, levenshtein_ratio
+from mel_ray.functions.embed import embed_strings, topk_cosine
+
+
+class TestHashing:
+    def test_distinct_and_deterministic(self):
+        arr = pa.array(["", "a", "aa", "ab", "ba", "hello world", "a" * 1000])
+        h1, h2 = hash_strings64(arr), hash_strings64(arr)
+        assert len(set(h1.tolist())) == len(arr)
+        assert (h1 == h2).all()
+
+    def test_substring_consistency(self):
+        # hash of a substring == hash of the same text as a standalone string
+        whole = hash_strings64(pa.array(["hello world"]))[0]
+        data, _ = string_array_buffers(pa.array(["xxhello worldyy"]))
+        hs = substring_hasher(data)
+        assert hs(np.array([2]), np.array([13]))[0] == whole
+
+    def test_sha256_matches_hashlib(self):
+        texts = ["", "abc", "x" * 999, "unicode é中"]
+        got = sha256_hex(pa.array(texts))
+        for t, g in zip(texts, got):
+            assert g.as_py() == hashlib.sha256(t.encode()).hexdigest()
+
+
+class TestShingles:
+    def test_line_shingles_normalization(self):
+        docs = pa.array(["  a b \n\n c\nd", "c\n  a b", "", "\n\n", "z"])
+        v, off = line_shingles(docs)
+        counts = (off[1:] - off[:-1]).tolist()
+        assert counts == [3, 2, 0, 0, 1]
+        s0 = set(v[off[0] : off[1]].tolist())
+        s1 = set(v[off[1] : off[2]].tolist())
+        assert len(s0 & s1) == 2  # "a b" and "c" shared, whitespace-insensitively
+
+    def test_char_kgrams(self):
+        data, off = string_array_buffers(pa.array(["abcd", "ab", ""]))
+        _, ko = char_kgram_hashes(data, off, 3)
+        assert ko.tolist() == [0, 2, 3, 3]
+
+    def test_word_ngrams(self):
+        v, off = word_ngram_hashes(
+            pa.array(["the quick brown fox", "Quick brown fox the", "", "one"]), n=3
+        )
+        assert (off[1] - off[0]) == 2
+        s0 = set(v[off[0] : off[1]].tolist())
+        s1 = set(v[off[1] : off[2]].tolist())
+        assert len(s0 & s1) == 1  # "quick brown fox" (case-insensitive)
+        assert (off[3] - off[2]) == 0 and (off[4] - off[3]) == 1
+
+
+class TestMinHash:
+    def test_estimate_tracks_exact_jaccard(self):
+        rng = np.random.RandomState(0)
+        base = rng.randint(0, 2**63, 500).astype(np.uint64)
+        vals, offs = [], [0]
+        for frac in [1.0, 0.9, 0.7, 0.5, 0.2]:
+            keep = base[: int(500 * frac)]
+            extra = rng.randint(0, 2**63, 500 - len(keep)).astype(np.uint64)
+            s = np.concatenate([keep, extra])
+            vals.append(s)
+            offs.append(offs[-1] + len(s))
+        values = np.concatenate(vals)
+        offsets = np.array(offs)
+        sig = minhash_signature(values, offsets, 128)
+        for i in range(1, 5):
+            ej = exact_jaccard(values, offsets, 0, i)
+            est = estimate_jaccard(sig[0:1], sig[i : i + 1])[0]
+            assert abs(ej - est) < 0.15
+
+    def test_band_shapes_and_empty_rows(self):
+        values = np.arange(10, dtype=np.uint64)
+        offsets = np.array([0, 5, 5, 10])  # middle row empty
+        sig = minhash_signature(values, offsets, 64)
+        assert sig.shape == (3, 64)
+        assert (sig[1] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+        bid, bh = band_keys(sig, 16)
+        assert len(bid) == 3 * 16 and len(bh) == 3 * 16
+        # identical shingle sets -> identical bands
+        sig2 = minhash_signature(values, np.array([0, 5, 5, 10]), 64)
+        assert (sig == sig2).all()
+
+
+class TestSimHash:
+    def test_near_dup_has_smaller_hamming(self):
+        rng = np.random.RandomState(1)
+        base = rng.randint(0, 2**63, 400).astype(np.uint64)
+        near = np.concatenate([base[:360], rng.randint(0, 2**63, 40).astype(np.uint64)])
+        far = rng.randint(0, 2**63, 400).astype(np.uint64)
+        values = np.concatenate([base, near, far])
+        offsets = np.array([0, 400, 800, 1200])
+        sh = simhash64(values, offsets)
+        d_near = hamming64(sh[0:1], sh[1:2])[0]
+        d_far = hamming64(sh[0:1], sh[2:3])[0]
+        assert d_near < d_far
+        assert d_near <= 12
+
+
+def _naive_lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, len(b) + 1):
+            cur = min(prev + (a[i - 1] != b[j - 1]), dp[j] + 1, dp[j - 1] + 1)
+            prev, dp[j] = dp[j], cur
+    return dp[len(b)]
+
+
+def _naive_jw(a: str, b: str, p: float = 0.1) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    w = max(max(len(a), len(b)) // 2 - 1, 0)
+    m1, m2 = [False] * len(a), [False] * len(b)
+    matches = 0
+    for i, c in enumerate(a):
+        for j in range(max(0, i - w), min(len(b), i + w + 1)):
+            if not m2[j] and b[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    s1 = [c for i, c in enumerate(a) if m1[i]]
+    s2 = [c for j, c in enumerate(b) if m2[j]]
+    t = sum(x != y for x, y in zip(s1, s2)) / 2
+    jaro = (matches / len(a) + matches / len(b) + (matches - t) / matches) / 3
+    pref = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x == y:
+            pref += 1
+        else:
+            break
+    return jaro + pref * p * (1 - jaro)
+
+
+class TestStringSim:
+    @pytest.fixture(scope="class")
+    def pairs(self):
+        random.seed(7)
+        A, B = [], []
+        for _ in range(300):
+            A.append("".join(random.choice("abcd/_") for _ in range(random.randint(0, 14))))
+            B.append("".join(random.choice("abcd/_") for _ in range(random.randint(0, 14))))
+        return A, B
+
+    def test_levenshtein_vs_naive(self, pairs):
+        A, B = pairs
+        got = levenshtein_ratio(pa.array(A), pa.array(B))
+        for a, b, g in zip(A, B, got):
+            exp = 1.0 if (not a and not b) else 1 - _naive_lev(a, b) / max(len(a), len(b), 1)
+            assert abs(g - exp) < 1e-6, (a, b, g, exp)
+
+    def test_jaro_winkler_vs_naive(self, pairs):
+        A, B = pairs
+        got = jaro_winkler(pa.array(A), pa.array(B))
+        for a, b, g in zip(A, B, got):
+            assert abs(g - _naive_jw(a, b)) < 1e-5, (a, b, g)
+
+
+class TestEmbed:
+    def test_self_similarity_and_ordering(self):
+        texts = pa.array(
+            [
+                "def compute_total(items): return sum(i.price for i in items)",
+                "def compute_total(items): return sum(x.price for x in items)",
+                "SELECT * FROM completely_different_table WHERE z > 9",
+            ]
+        )
+        emb = embed_strings(texts)
+        assert np.allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+        near = float(emb[0] @ emb[1])
+        far = float(emb[0] @ emb[2])
+        assert near > 0.8 > far
+
+    def test_topk_matches_naive(self):
+        rng = np.random.RandomState(3)
+        index = rng.randn(50, 16).astype(np.float32)
+        index /= np.linalg.norm(index, axis=1, keepdims=True)
+        queries = index[:5]
+        idx, sims = topk_cosine(queries, index, 4)
+        full = queries @ index.T
+        for q in range(5):
+            order = np.lexsort((np.arange(50), -full[q]))[:4]
+            assert idx[q].tolist() == order.tolist()
+            assert idx[q][0] == q  # self is nearest

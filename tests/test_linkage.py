@@ -1,0 +1,78 @@
+"""End-to-end flagship pipeline tests: the F1 >= 0.99 gate
+(BASELINE.json metric) plus conservation invariants (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import collections
+
+import pyarrow.parquet as pq
+import pytest
+
+from mel_ray.config import LinkageConfig
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLinkagePipeline:
+    @pytest.fixture(scope="class")
+    def result(self, tiny_corpus):
+        from mel_ray.pipelines.linkage import run_linkage
+
+        res = run_linkage(str(tiny_corpus / "files.parquet"))
+        return tiny_corpus, res
+
+    def test_f1_gate(self, result):
+        import ray.data
+
+        from mel_ray.stages.evaluate import linkage_f1
+
+        corpus, res = result
+        lp = ray.data.read_parquet(str(corpus / "labeled_pairs.parquet"))
+        metrics = linkage_f1(lp, res.clusters)
+        assert metrics["f1"].iloc[0] >= 0.99, metrics.to_string()
+
+    def test_clusters_partition_all_records(self, result):
+        corpus, res = result
+        rows = res.clusters.take_all()
+        n_input = pq.read_metadata(corpus / "files.parquet").num_rows
+        assert len(rows) == n_input
+        # cluster_id = min(record_id) of the component -> cluster_id <= record_id
+        for r in rows:
+            assert r["cluster_id"] <= r["record_id"]
+
+    def test_sha256_multiset_preserved(self, result):
+        import hashlib
+
+        corpus, res = result
+        files = pq.read_table(corpus / "files.parquet")
+        want = collections.Counter(
+            hashlib.sha256(c.as_py().encode()).hexdigest() for c in files["content"]
+        )
+        got = collections.Counter(r["sha256"] for r in res.clusters.take_all())
+        assert got == want
+
+    def test_exact_duplicates_share_cluster(self, result):
+        corpus, res = result
+        rows = res.clusters.take_all()
+        by_sha = collections.defaultdict(set)
+        for r in rows:
+            by_sha[r["sha256"]].add(r["cluster_id"])
+        for sha, cids in by_sha.items():
+            assert len(cids) == 1, f"identical content split across clusters: {sha}"
+
+    def test_candidate_pairs_sound(self, result, tiny_corpus):
+        """Every accepted pair has high true Jaccard (no hallucinated pairs)."""
+        import numpy as np
+
+        from mel_ray.functions.minhash import exact_jaccard
+        from mel_ray.functions.shingles import line_shingles
+
+        corpus, res = result
+        files = pq.read_table(corpus / "files.parquet")
+        labels = pq.read_table(corpus / "labels.parquet").to_pandas()
+        row_of = {rid: i for i, rid in enumerate(labels.record_id)}
+        v, off = line_shingles(files["content"].combine_chunks())
+        accepted = [r for r in res.scored_pairs.take_all() if r["accepted"]]
+        assert len(accepted) > 100
+        for r in accepted[:500]:
+            j = exact_jaccard(v, off, row_of[r["id_a"]], row_of[r["id_b"]])
+            assert j > 0.35, (r, j)
