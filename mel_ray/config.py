@@ -11,7 +11,7 @@ class BlockingConfig:
     num_hashes: int = 128          # MinHash signature width K
     num_bands: int = 32            # b bands of r = K/b rows (s-curve ~0.42)
     num_buckets: int = 64          # shuffle buckets for band groupby
-    salt_limit: int = 256          # band size above which members are salted
+    salt_limit: int = 64           # band size above which members are salted
     stopband_limit: int = 4096     # band size above which the band is dropped
                                    # (the "Paris"-alias cap analogue,
                                    # reference README.md:117-119)
@@ -27,6 +27,12 @@ class ScoringConfig:
     cosine_accept: float = 0.60
     batch_size: int = 8192
     concurrency: int | None = None  # scorer actor-pool size; None = cpus//4
+    # Feature tables at or below this many rows are BROADCAST into the
+    # pair-scoring stage (ray.put once, searchsorted lookup per batch —
+    # zero shuffle; the Spark autoBroadcastJoinThreshold idea).  Above
+    # it, hash-shuffle Dataset.join partitions both sides — the 10^12-row
+    # scale path.  ~2M rows ≈ 2 GB of sig+emb.
+    broadcast_limit_rows: int = 2_000_000
 
 
 @dataclass(frozen=True)

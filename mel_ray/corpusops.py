@@ -20,7 +20,7 @@ from .synth import ensure_corpus
 
 
 def _corpus_files(sf_dir: str) -> str:
-    return str(ensure_corpus(sf_dir) / "files.parquet")
+    return str(ensure_corpus(sf_dir) / "files")
 
 
 def corpus_ingest(sf_dir: str):
@@ -51,7 +51,7 @@ def corpus_rename_counts(sf_dir: str):
 
     ren = pq.read_table(corpus / "repo_renames.parquet").to_pandas()
     renames = dict(zip(ren.old_repo, ren.new_repo))
-    ds = I.ingest(I.read_corpus(str(corpus / "files.parquet")), renames=renames)
+    ds = I.ingest(I.read_corpus(str(corpus / "files")), renames=renames)
     return (
         ds.map_batches(lambda t: t.select(["repo"]), batch_format="pyarrow")
         .groupby("repo")

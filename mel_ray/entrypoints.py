@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import annops, corpusops, relational, textops
+from . import annops, corpusops, relational, streamops, textops
 from .functions.textstats import _MARKER_RES, _SCRIPT_RES, TOKEN_RE
 
 _CORPUS_SF001 = "/tmp/mel_ray_corpus/sf0.01"
@@ -54,6 +54,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_lsh_pairs": textops.doc_minhash_lsh_pairs,
         "doc_length_histogram": textops.doc_length_histogram,
         # --- similarity search over embeddings ---
+        "sessionize": streamops.sessionize,
+        "running_sum": streamops.running_sum,
+        "sliding_window_counts": streamops.sliding_window_counts,
+        "doc_simhash_pairs": textops.doc_simhash_pairs,
+        "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
+        "media_features": _media_features,
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_lsh": annops.knn_lsh,
         "emb_near_dupes": annops.emb_near_dupes,
@@ -69,6 +75,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_reps": corpusops.cluster_reps,
     }
     return q
+
+
+def _media_features(sf_dir: str):
+    """multimodal plumbing: synthetic binary media table -> actor-pool
+    feature extraction (decode stubbed; see stages/multimodal.py)."""
+    from .stages.multimodal import extract_media_features, synth_media_dataset
+
+    out = extract_media_features(synth_media_dataset(64))
+    import pyarrow as pa
+
+    return out.map_batches(
+        lambda t: t.select(["media_id", "kind", "payload_len"]), batch_format="pyarrow"
+    )
 
 
 def _lang_id_sql() -> str:
@@ -95,7 +114,7 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    files = f"read_parquet('{_CORPUS_SF001}/files.parquet')"
+    files = f"read_parquet('{_CORPUS_SF001}/files/*.parquet')"
     renames = f"read_parquet('{_CORPUS_SF001}/repo_renames.parquet')"
     tok = TOKEN_RE
     return {
@@ -185,6 +204,36 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY count(*) DESC, event_type ASC) AS rn
               FROM events GROUP BY user_id, event_type)
             WHERE rn <= 2
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM o)
+            SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start
+            FROM s GROUP BY 1, 2
+        """,
+        "running_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS running_value
+            FROM events
+        """,
+        "sliding_window_counts": """
+            SELECT event_type,
+                   make_timestamp(((epoch_us(ts) // 1800000000) - i) * 1800000000)
+                     AS window_start,
+                   count(*) AS n_events
+            FROM events, range(0, 2) t(i)
+            GROUP BY 1, 2
         """,
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha

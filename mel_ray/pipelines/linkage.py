@@ -46,7 +46,11 @@ def run_linkage(
     from ..util import auto_join_partitions
 
     join_parts = auto_join_partitions(cfg.join_partitions)
-    ckpt = StageCheckpointer(cfg.checkpoint_dir, fingerprint_inputs=[corpus_path])
+    ckpt = StageCheckpointer(
+        cfg.checkpoint_dir,
+        fingerprint_inputs=[corpus_path],
+        config_token=repr((cfg.blocking, cfg.scoring, cfg.clustering, renames)),
+    )
 
     records = I.ingest(I.read_corpus(corpus_path), renames=renames)
 
@@ -65,11 +69,7 @@ def run_linkage(
 
     scored = ckpt.through(
         "scored",
-        lambda: S.score_pairs(
-            S.attach_features(pairs, features, join_parts),
-            cfg.scoring,
-            cfg.blocking,
-        ),
+        lambda: S.score_pairs_auto(pairs, features, cfg.scoring, cfg.blocking, join_parts),
     )
 
     edges = scored.map_batches(

@@ -55,13 +55,19 @@ def featurize_batch(batch: pa.Table, cfg: BlockingConfig, embed_dim: int, embed_
     emb = embed_strings(content, dim=embed_dim, k=embed_k)
     # sig/emb travel as fixed-width binary blobs: joinable by Acero
     # (list payloads are not), decoded zero-copy with np.frombuffer.
+    # Compact encodings keep the pair-join shuffle small: minhash slots
+    # truncated to uint32 (slot-equality comparisons are unaffected at
+    # 2^-32 collision rate), embeddings as float16 (cosine is computed
+    # in float32 after upcast — the reference stores fp16 embeddings
+    # too, src/utils/embeddings.py:108-111).
+    sig32 = (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     return pa.table(
         {
             "record_id": batch["record_id"],
             "repo": batch["repo"],
             "path": batch["path"],
-            "sig": _binary_rows(np.ascontiguousarray(sig)),
-            "emb": _binary_rows(np.ascontiguousarray(emb.astype(np.float32))),
+            "sig": _binary_rows(np.ascontiguousarray(sig32)),
+            "emb": _binary_rows(np.ascontiguousarray(emb.astype(np.float16))),
         }
     )
 
@@ -92,8 +98,8 @@ def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     """features -> b band rows per record (the flat_map row expansion,
     analogue of DaMuELLinkProcessor's entity->links expansion,
     reference ``loaders/damuel.py:74-116``)."""
-    sig = binary_matrix(batch["sig"], np.uint64)
-    band_id, band_hash = band_keys(sig, cfg.num_bands)
+    sig32 = binary_matrix(batch["sig"], np.uint32)
+    band_id, band_hash = band_keys(sig32.astype(np.uint64), cfg.num_bands)
     rid = np.repeat(batch["record_id"].to_numpy(), cfg.num_bands)
     bucket = (band_hash % U64(cfg.num_buckets)).astype(np.int32)
     return pa.table(

@@ -200,8 +200,55 @@ def assign_clusters(
     records: "ray.data.Dataset",
     component_labels: "ray.data.Dataset",
     num_partitions: int,
+    broadcast_limit_rows: int = 20_000_000,
 ) -> "ray.data.Dataset":
-    """All records ⋈ component labels (left outer); singletons get their own id."""
+    """All records ⋈ component labels (left outer); singletons get their own id.
+
+    The label table only holds non-singleton nodes (≪ corpus), so the
+    default strategy is a broadcast map-side join (sorted-array lookup
+    per batch, zero shuffle); a partitioned left-outer ``Dataset.join``
+    takes over past the broadcast threshold."""
+    n = component_labels.count()
+    if n <= broadcast_limit_rows:
+        import ray as _ray
+
+        parts = [_ray.get(r) for r in component_labels.to_arrow_refs()]
+        t = pa.concat_tables(parts).combine_chunks() if parts else None
+        if t is None or len(t) == 0:
+            ids = np.empty(0, dtype=np.int64)
+            cids = np.empty(0, dtype=np.int64)
+        else:
+            ids = t["record_id"].to_numpy()
+            cids = t["cluster_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids, cids = ids[order], cids[order]
+        ref = _ray.put((ids, cids))
+
+        class Assign:
+            def __init__(self, ref):
+                self.ids, self.cids = _ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rid = batch["record_id"].to_numpy()
+                pos = np.searchsorted(self.ids, rid)
+                pos = np.minimum(pos, max(len(self.ids) - 1, 0))
+                if len(self.ids):
+                    hit = self.ids[pos] == rid
+                    cid = np.where(hit, self.cids[pos], rid)
+                else:
+                    cid = rid
+                return batch.append_column("cluster_id", pa.array(cid.astype(np.int64)))
+
+        from ..util import auto_pool_size
+
+        return records.map_batches(
+            Assign,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            concurrency=auto_pool_size(None),
+            num_cpus=0.5,
+        )
+
     from .scoring import JOIN_AGG_ARGS
 
     joined = records.join(

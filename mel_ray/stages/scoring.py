@@ -1,38 +1,35 @@
-"""Pairwise scoring stage: attach per-record features to candidate
-pairs (hash-shuffle joins), then score each pair in an actor pool.
+"""Pairwise scoring: a two-phase cascade over candidate pairs.
 
-Recast of the reference's retrieval scoring — the bi-encoder embed +
+Recast of the reference's retrieval scoring — bi-encoder embed +
 dot-product search (``src/utils/embeddings.py:55-175``,
 ``src/models/searchers/brute_force_searcher.py:28-36``) — as *pairwise*
-scoring inside LSH blocks: no global k-NN index exists at corpus scale;
-model state (here: the deterministic hashed-ngram encoder config) lives
-in the actor (loaded once in ``__init__``, reference pattern T1/T2).
+scoring inside LSH blocks, structured as a cascade so the expensive
+features only travel for plausible pairs:
 
-Features attach via two hash-partitioned joins on ``record_id``
-(``Dataset.join``; SURVEY.md §7.3 "feature join").  The pair batch then
-scores fully vectorized: signature-slot agreement (MinHash Jaccard
-estimate), embedding cosine, Jaro-Winkler + Levenshtein on path/repo.
+1. **verify**: join the compact uint32 MinHash signatures (512 B/side)
+   onto candidate pairs, estimate Jaccard from slot agreement, and drop
+   pairs below the accept threshold — this kills the hot-band
+   (license/boilerplate) collisions, which dominate the candidate set;
+2. **score**: join embeddings + path/repo strings onto the survivors
+   only, then an actor-pool scorer computes cosine and
+   Jaro-Winkler/Levenshtein similarities and the final accept bit.
+
+All joins are hash-shuffle ``Dataset.join`` on ``record_id`` with
+fractional-CPU aggregators (several join stages + an actor pool must
+coexist on one node without starving).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..config import BlockingConfig, ScoringConfig
 from ..functions.embed import cosine_pairs
-from ..functions.minhash import estimate_jaccard
 from ..functions.strsim import jaro_winkler, levenshtein_ratio
-
-
-def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Dataset":
-    def f(t: pa.Table) -> pa.Table:
-        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
-
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
-
 
 # Shuffle-join aggregator actors reserve fractional CPUs so that several
 # join stages plus an actor pool can coexist on a small node without
@@ -40,40 +37,74 @@ def _rename(ds: "ray.data.Dataset", mapping: dict[str, str]) -> "ray.data.Datase
 JOIN_AGG_ARGS = {"num_cpus": 0.25}
 
 
-def attach_features(
+def _rename(ds: "ray.data.Dataset", mapping: dict[str, str], keep: list[str]) -> "ray.data.Dataset":
+    def f(t: pa.Table) -> pa.Table:
+        t = t.select(keep)
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _join(left, right, on, num_partitions, how="inner"):
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+
+def verify_candidates(
     pairs: "ray.data.Dataset",
+    features: "ray.data.Dataset",
+    scoring: ScoringConfig,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """pairs ⋈ sig x2 -> est_jaccard filter (phase 1 of the cascade)."""
+    sa = _rename(features, {"record_id": "id_a", "sig": "sig_a"}, ["record_id", "sig"])
+    sb = _rename(features, {"record_id": "id_b", "sig": "sig_b"}, ["record_id", "sig"])
+    j = _join(pairs, sa, "id_a", num_partitions)
+    j = _join(j, sb, "id_b", num_partitions)
+
+    thresh = scoring.jaccard_accept
+
+    def estimate(t: pa.Table) -> pa.Table:
+        from .blocking import binary_matrix
+
+        sig_a = binary_matrix(t["sig_a"], np.uint32)
+        sig_b = binary_matrix(t["sig_b"], np.uint32)
+        est = (sig_a == sig_b).mean(axis=1).astype(np.float32)
+        keep = est >= thresh
+        return pa.table(
+            {
+                "id_a": pa.array(t["id_a"].to_numpy()[keep]),
+                "id_b": pa.array(t["id_b"].to_numpy()[keep]),
+                "est_jaccard": pa.array(est[keep]),
+            }
+        )
+
+    return j.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def attach_features(
+    verified: "ray.data.Dataset",
     features: "ray.data.Dataset",
     num_partitions: int,
 ) -> "ray.data.Dataset":
-    """pairs(id_a, id_b) ⋈ features twice -> scored-pair input rows.
-
-    The two hash-shuffle joins are separated by a materialize boundary:
-    chaining them in one streaming plan would run 2×num_partitions
-    aggregator actors concurrently and can starve the cluster.
-    """
+    """survivors ⋈ (repo, path, emb) x2 (phase 2 of the cascade)."""
     fa = _rename(
         features,
-        {"record_id": "id_a", "repo": "repo_a", "path": "path_a", "sig": "sig_a", "emb": "emb_a"},
+        {"record_id": "id_a", "repo": "repo_a", "path": "path_a", "emb": "emb_a"},
+        ["record_id", "repo", "path", "emb"],
     )
     fb = _rename(
         features,
-        {"record_id": "id_b", "repo": "repo_b", "path": "path_b", "sig": "sig_b", "emb": "emb_b"},
+        {"record_id": "id_b", "repo": "repo_b", "path": "path_b", "emb": "emb_b"},
+        ["record_id", "repo", "path", "emb"],
     )
-    j1 = pairs.join(
-        fa,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("id_a",),
-        aggregator_ray_remote_args=JOIN_AGG_ARGS,
-    ).materialize()
-    j2 = j1.join(
-        fb,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("id_b",),
-        aggregator_ray_remote_args=JOIN_AGG_ARGS,
-    )
-    return j2
+    j = _join(verified, fa, "id_a", num_partitions)
+    return _join(j, fb, "id_b", num_partitions)
 
 
 class PairScorer:
@@ -84,29 +115,28 @@ class PairScorer:
     def __init__(self, scoring: ScoringConfig, blocking: BlockingConfig):
         self.cfg = scoring
         self.num_hashes = blocking.num_hashes
-        self.dim = scoring.embed_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..stages.blocking import binary_matrix
+        from .blocking import binary_matrix
 
-        sig_a = binary_matrix(batch["sig_a"], np.uint64)
-        sig_b = binary_matrix(batch["sig_b"], np.uint64)
-        emb_a = binary_matrix(batch["emb_a"], np.float32)
-        emb_b = binary_matrix(batch["emb_b"], np.float32)
-        est_j = estimate_jaccard(sig_a, sig_b)
+        emb_a = binary_matrix(batch["emb_a"], np.float16).astype(np.float32)
+        emb_b = binary_matrix(batch["emb_b"], np.float16).astype(np.float32)
+        est_j = batch["est_jaccard"].to_numpy()
         cos = cosine_pairs(emb_a, emb_b)
         path_jw = jaro_winkler(self._col(batch, "path_a"), self._col(batch, "path_b"))
-        path_lev = levenshtein_ratio(self._col(batch, "path_a"), self._col(batch, "path_b"))
-        repo_jw = jaro_winkler(self._col(batch, "repo_a"), self._col(batch, "repo_b"))
-        score = (0.6 * est_j + 0.3 * np.maximum(cos, 0) + 0.05 * path_jw + 0.05 * repo_jw).astype(
-            np.float32
+        path_lev = levenshtein_ratio(
+            self._col(batch, "path_a"), self._col(batch, "path_b"), max_len=64
         )
+        repo_jw = jaro_winkler(self._col(batch, "repo_a"), self._col(batch, "repo_b"))
+        score = (
+            0.6 * est_j + 0.3 * np.maximum(cos, 0) + 0.05 * path_jw + 0.05 * repo_jw
+        ).astype(np.float32)
         accepted = (est_j >= self.cfg.jaccard_accept) & (cos >= self.cfg.cosine_accept)
         return pa.table(
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
-                "est_jaccard": pa.array(est_j),
+                "est_jaccard": pa.array(est_j.astype(np.float32)),
                 "cosine": pa.array(cos),
                 "path_jw": pa.array(path_jw),
                 "path_lev": pa.array(path_lev),
@@ -123,13 +153,18 @@ class PairScorer:
 
 
 def score_pairs(
-    pairs_with_features: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    features: "ray.data.Dataset",
     scoring: ScoringConfig,
     blocking: BlockingConfig,
+    num_partitions: int,
 ) -> "ray.data.Dataset":
+    """The full cascade: verify -> attach -> actor-pool scorer."""
     from ..util import auto_pool_size
 
-    return pairs_with_features.map_batches(
+    verified = verify_candidates(pairs, features, scoring, num_partitions).materialize()
+    enriched = attach_features(verified, features, num_partitions)
+    return enriched.map_batches(
         PairScorer,
         fn_constructor_args=(scoring, blocking),
         batch_format="pyarrow",
@@ -137,3 +172,114 @@ def score_pairs(
         concurrency=auto_pool_size(scoring.concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast fast path: when the feature table fits comfortably in the object
+# store (<= ScoringConfig.broadcast_limit_rows), ship it ONCE via ray.put and
+# score pairs with zero shuffle — the map-side join the reference uses for its
+# qid-remap table (src/utils/qids_remap.py:35-55) and Spark's
+# autoBroadcastJoinThreshold strategy.  Above the threshold the partitioned
+# Dataset.join cascade above is used instead (the 10^12-row scale path).
+# ---------------------------------------------------------------------------
+
+
+def _collect_features(features: "ray.data.Dataset"):
+    """Materialized features -> (ids_sorted, sig_mat, emb_mat, repo_arr, path_arr)."""
+    import ray as _ray
+
+    from .blocking import binary_matrix
+
+    tables = [_ray.get(ref) for ref in features.to_arrow_refs()]
+    t = pa.concat_tables(tables).combine_chunks()
+    ids = t["record_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    take = pa.array(order)
+    sig = binary_matrix(t["sig"].combine_chunks(), np.uint32)[order]
+    emb = binary_matrix(t["emb"].combine_chunks(), np.float16)[order]
+    repo = pc.take(t["repo"].combine_chunks(), take)
+    path = pc.take(t["path"].combine_chunks(), take)
+    return ids, np.ascontiguousarray(sig), np.ascontiguousarray(emb), repo, path
+
+
+class BroadcastPairScorer:
+    """Actor-pool scorer holding the broadcast feature table: per pair
+    batch, searchsorted id lookup + the same kernels as PairScorer."""
+
+    def __init__(self, ref, scoring: ScoringConfig):
+        import ray as _ray
+
+        self.ids, self.sig, self.emb, self.repo, self.path = _ray.get(ref)
+        self.cfg = scoring
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy()
+        b = batch["id_b"].to_numpy()
+        ia = np.searchsorted(self.ids, a)
+        ib = np.searchsorted(self.ids, b)
+        est_j = (self.sig[ia] == self.sig[ib]).mean(axis=1).astype(np.float32)
+        keep = est_j >= self.cfg.jaccard_accept
+        ia, ib, est_j = ia[keep], ib[keep], est_j[keep]
+        emb_a = self.emb[ia].astype(np.float32)
+        emb_b = self.emb[ib].astype(np.float32)
+        cos = cosine_pairs(emb_a, emb_b)
+        take_a, take_b = pa.array(ia), pa.array(ib)
+        path_a, path_b = pc.take(self.path, take_a), pc.take(self.path, take_b)
+        repo_a, repo_b = pc.take(self.repo, take_a), pc.take(self.repo, take_b)
+        path_jw = jaro_winkler(path_a, path_b)
+        path_lev = levenshtein_ratio(path_a, path_b, max_len=64)
+        repo_jw = jaro_winkler(repo_a, repo_b)
+        score = (
+            0.6 * est_j + 0.3 * np.maximum(cos, 0) + 0.05 * path_jw + 0.05 * repo_jw
+        ).astype(np.float32)
+        accepted = (est_j >= self.cfg.jaccard_accept) & (cos >= self.cfg.cosine_accept)
+        return pa.table(
+            {
+                "id_a": pa.array(batch["id_a"].to_numpy()[keep]),
+                "id_b": pa.array(batch["id_b"].to_numpy()[keep]),
+                "est_jaccard": pa.array(est_j),
+                "cosine": pa.array(cos),
+                "path_jw": pa.array(path_jw),
+                "path_lev": pa.array(path_lev),
+                "repo_jw": pa.array(repo_jw),
+                "score": pa.array(score),
+                "accepted": pa.array(accepted),
+            }
+        )
+
+
+def score_pairs_broadcast(
+    pairs: "ray.data.Dataset",
+    features: "ray.data.Dataset",
+    scoring: ScoringConfig,
+) -> "ray.data.Dataset":
+    import ray as _ray
+
+    from ..util import auto_pool_size
+
+    ref = _ray.put(_collect_features(features))
+    return pairs.map_batches(
+        BroadcastPairScorer,
+        fn_constructor_args=(ref, scoring),
+        batch_format="pyarrow",
+        batch_size=scoring.batch_size * 4,
+        concurrency=auto_pool_size(scoring.concurrency),
+        num_cpus=1,
+    )
+
+
+def score_pairs_auto(
+    pairs: "ray.data.Dataset",
+    features: "ray.data.Dataset",
+    scoring: ScoringConfig,
+    blocking: BlockingConfig,
+    num_partitions: int,
+) -> "ray.data.Dataset":
+    """Join-strategy selection: broadcast when the feature side is small
+    (features is materialized by the stage checkpointer, so count() is a
+    metadata read), partitioned cascade otherwise."""
+    n = features.count()
+    if n <= scoring.broadcast_limit_rows:
+        return score_pairs_broadcast(pairs, features, scoring)
+    return score_pairs(pairs, features, scoring, blocking, num_partitions)

@@ -46,12 +46,31 @@ def _input_fingerprint(paths: list[str]) -> str:
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
+# bump whenever a stage's on-disk format changes (binary encodings,
+# column layout) so stale checkpoints from older code are rebuilt, not
+# silently restored with the wrong decode.
+FORMAT_VERSION = 2
+
+
 class StageCheckpointer:
     """``through(name, builder)``: run-or-restore a stage dataset."""
 
-    def __init__(self, root: str | None, fingerprint_inputs: list[str] | None = None):
+    def __init__(
+        self,
+        root: str | None,
+        fingerprint_inputs: list[str] | None = None,
+        config_token: str = "",
+    ):
         self.root = Path(root) if root else None
-        self.fingerprint = _input_fingerprint(fingerprint_inputs or []) if root else ""
+        if root:
+            base = _input_fingerprint(fingerprint_inputs or [])
+            import hashlib
+
+            self.fingerprint = hashlib.sha256(
+                f"{base}|v{FORMAT_VERSION}|{config_token}".encode()
+            ).hexdigest()[:16]
+        else:
+            self.fingerprint = ""
         self.stats: dict[str, Any] = {}
 
     def through(

@@ -1,0 +1,106 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data is a bounded-stream engine (no watermarks — SURVEY.md §2.9):
+event-time windows, sessionization and running aggregates are grouped
+computations over per-key ts-sorted groups (``groupby(key).map_groups``
+with a vectorized body).  Each has an exact DuckDB window-function
+oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _events(sf_dir: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """per user: split the ts-ordered event stream at gaps > ``gap``;
+    emit one row per session (user_id, session_id, n_events, t_start).
+
+    session_id = 0-based index of the session within the user's stream;
+    the grouped-sorted-scan shape of the reference's per-file ordered
+    processing (multifile_dataset.py:22-29) with explicit event-time
+    semantics."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+    gap = np.timedelta64(gap_minutes, "m")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(new_session) - 1
+        out = (
+            pd.DataFrame({"session_id": sid, "ts": g["ts"].to_numpy()})
+            .groupby("session_id")
+            .agg(n_events=("ts", "size"), t_start=("ts", "min"))
+            .reset_index()
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def running_sum(sf_dir: str):
+    """per user, ts-ordered cumulative sum of ``value`` (rounded) — the
+    bounded-stream recast of a stateful running aggregate
+    (RunningAverages, utils/running_averages.py:4-58)."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "running_value": np.round(np.cumsum(g["value"].to_numpy()), 2),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sliding_window_counts(sf_dir: str, size_minutes: int = 60, slide_minutes: int = 30):
+    """sliding event-time windows (size 60m, slide 30m) per event_type:
+    each event lands in size/slide windows — the flat-map row expansion
+    + grouped count composition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, ["event_type", "ts"])
+    k = size_minutes // slide_minutes
+
+    def expand(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks() if isinstance(t["ts"], pa.ChunkedArray) else t["ts"]
+        tsn = ts.to_numpy().astype("datetime64[us]")
+        slide = np.timedelta64(slide_minutes * 60_000_000, "us")
+        base = (tsn - np.datetime64(0, "us")) // slide  # slide-bucket index
+        types = t["event_type"].to_numpy(zero_copy_only=False)
+        starts = []
+        etypes = []
+        for i in range(k):
+            w = (base - i) * slide + np.datetime64(0, "us")
+            starts.append(w)
+            etypes.append(types)
+        return pa.table(
+            {
+                "event_type": pa.array(np.concatenate(etypes)),
+                "window_start": pa.array(np.concatenate(starts)),
+            }
+        )
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+    )

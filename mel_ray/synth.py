@@ -252,7 +252,16 @@ def generate_corpus(out_dir: str | Path, n_files: int, seed: int = 42) -> Path:
     if tmp.exists():
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True)
-    pq.write_table(files_tbl, tmp / "files.parquet", row_group_size=65536)
+    # The corpus is SHARDED into part files (like any real corpus): one
+    # read task per file in Ray, so read+featurize parallelism is not
+    # throttled by single-file granularity; small row groups besides.
+    (tmp / "files").mkdir()
+    n_shards = max(4, min(64, n_files // 8192 + 1))
+    shard = (n_files + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        sl = files_tbl.slice(s * shard, shard)
+        if len(sl):
+            pq.write_table(sl, tmp / "files" / f"part-{s:05d}.parquet", row_group_size=8192)
     pq.write_table(labels_tbl, tmp / "labels.parquet")
     pq.write_table(pairs_tbl, tmp / "labeled_pairs.parquet")
     pq.write_table(renames_tbl, tmp / "repo_renames.parquet")

@@ -207,3 +207,144 @@ def doc_length_histogram(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow").groupby("len_bucket").aggregate(
         Count(alias_name="n_docs")
     )
+
+
+def doc_simhash_pairs(sf_dir: str, max_hamming: int = 8):
+    """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) <= K.
+
+    Distributed by the pigeonhole block trick: split the 64-bit
+    fingerprint into 4 x 16-bit chunks; any pair within Hamming <= 3*... 
+    a pair at distance <= K with K < chunks must agree on >= 1 chunk, so
+    grouping by (chunk_id, chunk_value) yields a complete candidate set
+    for small K; candidates are then verified exactly.  (Charikar
+    simhash + Manku-et-al chunk blocking.)"""
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fingerprints(t: pa.Table) -> pa.Table:
+        v, off = word_ngram_hashes(t["text"], n=2)
+        sh = simhash64(v, off)
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh.view(np.int64))})
+
+    fps = ds.map_batches(fingerprints, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        sh = t["simhash"].to_numpy().view(np.uint64)
+        did = t["doc_id"].to_numpy()
+        chunks = []
+        ids = []
+        cidx = []
+        for c in range(4):
+            chunk = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            chunks.append(chunk)
+            ids.append(did)
+            cidx.append(np.full(len(did), c, dtype=np.int64))
+        key = np.concatenate(cidx) * (1 << 16) + np.concatenate(chunks)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids)),
+                "band_hash": pa.array(key),
+                "bucket": pa.array((key % 16).astype(np.int32)),
+            }
+        )
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        bh = group["band_hash"].to_numpy()
+        rid = group["doc_id"].to_numpy()
+        order = np.lexsort((rid, bh))
+        bh, rid = bh[order], rid[order]
+        change = np.flatnonzero(np.diff(bh) != 0) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(bh)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            mem = np.unique(rid[s:e])
+            if len(mem) < 2:
+                continue
+            iu, ju = np.triu_indices(len(mem), k=1)
+            out_a.append(mem[iu])
+            out_b.append(mem[ju])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+    cands = (
+        fps.map_batches(expand, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pandas")
+    )
+    cands = dedup_pairs(cands, 16)
+
+    fp_tbl = fps.to_pandas()
+    fp_map = dict(zip(fp_tbl.doc_id.astype(int), fp_tbl.simhash.astype(np.int64)))
+    ref = _ray.put(fp_map)
+
+    class VerifyHamming:
+        def __init__(self, ref):
+            self.fp = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from .functions.simhash import hamming64
+
+            a = t["id_a"].to_numpy()
+            b = t["id_b"].to_numpy()
+            fa = np.array([self.fp[int(x)] for x in a], dtype=np.int64).view(np.uint64)
+            fb = np.array([self.fp[int(x)] for x in b], dtype=np.int64).view(np.uint64)
+            d = hamming64(fa, fb)
+            keep = d <= max_hamming
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(a[keep]),
+                    "doc_id_b": pa.array(b[keep]),
+                    "hamming": pa.array(d[keep].astype(np.int64)),
+                }
+            )
+
+    return cands.map_batches(VerifyHamming, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 2, threshold: float = 0.3):
+    """EXACT word-n-gram Jaccard near-dup pairs (doc_id_a < doc_id_b,
+    jaccard rounded 4): LSH banding proposes candidates, exact set
+    Jaccard verifies — the candidate-then-verify composition the
+    flagship uses, with an exact (not estimated) verifier."""
+    import ray as _ray
+
+    pairs = doc_minhash_lsh_pairs(sf_dir, ngram=n, threshold=0.15)
+
+    tbl = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    v, off = word_ngram_hashes(pa.array(tbl.text.tolist()), n=n)
+    sets = {
+        int(d): frozenset(v[off[i] : off[i + 1]].tolist()) for i, d in enumerate(tbl.doc_id)
+    }
+    ref = _ray.put(sets)
+
+    class ExactJaccard:
+        def __init__(self, ref):
+            self.sets = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["doc_id_a"].to_numpy()
+            b = t["doc_id_b"].to_numpy()
+            out_a, out_b, out_j = [], [], []
+            for x, y in zip(a, b):
+                sa, sb = self.sets[int(x)], self.sets[int(y)]
+                union = len(sa | sb)
+                j = len(sa & sb) / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(int(x))
+                    out_b.append(int(y))
+                    out_j.append(round(j, 4))
+            return pa.table(
+                {
+                    "doc_id_a": pa.array(np.asarray(out_a, np.int64)),
+                    "doc_id_b": pa.array(np.asarray(out_b, np.int64)),
+                    "jaccard": pa.array(np.asarray(out_j, np.float64)),
+                }
+            )
+
+    return pairs.map_batches(ExactJaccard, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)

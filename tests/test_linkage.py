@@ -17,7 +17,7 @@ class TestLinkagePipeline:
     def result(self, tiny_corpus):
         from mel_ray.pipelines.linkage import run_linkage
 
-        res = run_linkage(str(tiny_corpus / "files.parquet"))
+        res = run_linkage(str(tiny_corpus / "files"))
         return tiny_corpus, res
 
     def test_f1_gate(self, result):
@@ -33,7 +33,7 @@ class TestLinkagePipeline:
     def test_clusters_partition_all_records(self, result):
         corpus, res = result
         rows = res.clusters.take_all()
-        n_input = pq.read_metadata(corpus / "files.parquet").num_rows
+        n_input = pq.read_table(corpus / "files", columns=["lang"]).num_rows
         assert len(rows) == n_input
         # cluster_id = min(record_id) of the component -> cluster_id <= record_id
         for r in rows:
@@ -43,7 +43,7 @@ class TestLinkagePipeline:
         import hashlib
 
         corpus, res = result
-        files = pq.read_table(corpus / "files.parquet")
+        files = pq.read_table(corpus / "files")
         want = collections.Counter(
             hashlib.sha256(c.as_py().encode()).hexdigest() for c in files["content"]
         )
@@ -67,7 +67,7 @@ class TestLinkagePipeline:
         from mel_ray.functions.shingles import line_shingles
 
         corpus, res = result
-        files = pq.read_table(corpus / "files.parquet")
+        files = pq.read_table(corpus / "files")
         labels = pq.read_table(corpus / "labels.parquet").to_pandas()
         row_of = {rid: i for i, rid in enumerate(labels.record_id)}
         v, off = line_shingles(files["content"].combine_chunks())

@@ -18,7 +18,7 @@ def test_stage_checkpoint_restore_and_manifest(tmp_path, tiny_corpus):
 
     ckpt = tmp_path / "ckpt"
     cfg = LinkageConfig(checkpoint_dir=str(ckpt))
-    res1 = run_linkage(str(tiny_corpus / "files.parquet"), cfg)
+    res1 = run_linkage(str(tiny_corpus / "files"), cfg)
     n1 = res1.clusters.count()
     assert not res1.stats["features"]["restored"]
     manifests1 = {
@@ -31,7 +31,7 @@ def test_stage_checkpoint_restore_and_manifest(tmp_path, tiny_corpus):
         assert all(part["done"] for part in m["partitions"])
 
     # second run: every stage restored, manifests untouched (byte-identical)
-    res2 = run_linkage(str(tiny_corpus / "files.parquet"), cfg)
+    res2 = run_linkage(str(tiny_corpus / "files"), cfg)
     assert res2.clusters.count() == n1
     for name in manifests1:
         assert res2.stats[name]["restored"], name
@@ -46,14 +46,14 @@ def test_torn_stage_is_recomputed(tmp_path, tiny_corpus):
 
     ckpt = tmp_path / "ckpt"
     cfg = LinkageConfig(checkpoint_dir=str(ckpt))
-    run_linkage(str(tiny_corpus / "files.parquet"), cfg)
+    run_linkage(str(tiny_corpus / "files"), cfg)
     # simulate a crash mid-stage: manifest missing, partial temp data present
     import shutil
 
     stage = ckpt / "scored"
     (stage / "manifest.json").unlink()
     shutil.move(str(stage / "data"), str(stage / ".tmp-data"))
-    res = run_linkage(str(tiny_corpus / "files.parquet"), cfg)
+    res = run_linkage(str(tiny_corpus / "files"), cfg)
     assert not res.stats["scored"]["restored"]       # recomputed
     assert res.stats["features"]["restored"]         # earlier stages untouched
     assert (stage / "manifest.json").exists()

@@ -13,8 +13,8 @@ from mel_ray.synth import generate_corpus
 def test_deterministic_and_labeled(tmp_path, tiny_corpus):
     # same seed => byte-identical parquet content (schema + values)
     again = generate_corpus(tmp_path / "again", 800)
-    t1 = pq.read_table(tiny_corpus / "files.parquet")
-    t2 = pq.read_table(again / "files.parquet")
+    t1 = pq.read_table(tiny_corpus / "files")
+    t2 = pq.read_table(again / "files")
     assert t1.equals(t2)
 
     files = t1
@@ -32,7 +32,7 @@ def test_deterministic_and_labeled(tmp_path, tiny_corpus):
 def test_labeled_pairs_are_separable(tiny_corpus):
     """Positives and negatives at shared blocking keys are Jaccard-separable
     (the precondition for the F1 >= 0.99 gate)."""
-    files = pq.read_table(tiny_corpus / "files.parquet")
+    files = pq.read_table(tiny_corpus / "files")
     pairs = pq.read_table(tiny_corpus / "labeled_pairs.parquet").to_pandas()
     assert (pairs.id_a < pairs.id_b).all()
     assert not pairs.duplicated(["id_a", "id_b"]).any()
