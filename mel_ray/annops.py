@@ -74,10 +74,10 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
                 }
             )
 
-    return queries.map_batches(Searcher, fn_constructor_args=(index_ref,), batch_format="pyarrow", concurrency=2)
+    return queries.map_batches(Searcher, fn_constructor_args=(index_ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
-def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 6, probes: int = 2):
+def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4, probes: int = 2):
     """LSH-bucketed approximate top-k: random-hyperplane sign buckets +
     multi-probe (flip one plane).  The scale path: the index is
     PARTITIONED by bucket, each query only scores its probed buckets —
@@ -134,7 +134,7 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 6,
             )
 
     return queries.map_batches(
-        LshSearcher, fn_constructor_args=(index_ref,), batch_format="pyarrow", concurrency=2
+        LshSearcher, fn_constructor_args=(index_ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5
     )
 
 
@@ -174,7 +174,7 @@ def emb_near_dupes(sf_dir: str, threshold: float = 0.4):
             )
 
     return slabs.map_batches(
-        Slab, fn_constructor_args=(index_ref,), batch_format="pyarrow", batch_size=512, concurrency=2
+        Slab, fn_constructor_args=(index_ref,), batch_format="pyarrow", batch_size=512, concurrency=2, num_cpus=0.5
     )
 
 

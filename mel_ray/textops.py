@@ -189,7 +189,7 @@ def doc_minhash_lsh_pairs(sf_dir: str, ngram: int = 2, threshold: float = 0.5):
                 }
             )
 
-    return pairs.map_batches(Verify, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+    return pairs.map_batches(Verify, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
 def doc_length_histogram(sf_dir: str):
@@ -304,7 +304,7 @@ def doc_simhash_pairs(sf_dir: str, max_hamming: int = 8):
                 }
             )
 
-    return cands.map_batches(VerifyHamming, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+    return cands.map_batches(VerifyHamming, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 2, threshold: float = 0.3):
@@ -347,4 +347,4 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 2, threshold: float = 0.3):
                 }
             )
 
-    return pairs.map_batches(ExactJaccard, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+    return pairs.map_batches(ExactJaccard, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
