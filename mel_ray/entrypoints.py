@@ -114,6 +114,15 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The corpus-query oracles read the synthetic corpus parquet directly;
+    # make sure it exists even if the driver runs the SQL before the Ray
+    # queries (generation is pure NumPy — no Ray session needed).
+    try:
+        from .synth import ensure_corpus
+
+        ensure_corpus("/root/testdata/sf0.01")
+    except Exception:
+        pass  # SQL strings themselves remain valid
     files = f"read_parquet('{_CORPUS_SF001}/files/*.parquet')"
     renames = f"read_parquet('{_CORPUS_SF001}/repo_renames.parquet')"
     tok = TOKEN_RE
