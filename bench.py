@@ -104,7 +104,7 @@ def run_scaling() -> dict:
     from mel_ray.synth import ensure_corpus
 
     corpus = ensure_corpus(SF_DIR)
-    for f in Path(corpus).glob("*.parquet"):
+    for f in Path(corpus).rglob("*.parquet"):  # includes the files/ shard dir
         f.read_bytes()
 
     def one(ncpu: int) -> dict:

@@ -213,7 +213,11 @@ def emb_centroids(sf_dir: str):
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        avg = pc.round(pc.divide(t["s"], pc.cast(t["c"], pa.float64())), ndigits=4)
+        avg = pc.round(
+            pc.divide(t["s"], pc.cast(t["c"], pa.float64())),
+            ndigits=4,
+            round_mode="half_towards_infinity",
+        )
         return pa.table({"label": t["label"], "dim_i": t["dim_i"], "avg_val": avg})
 
     return agg.map_batches(finalize, batch_format="pyarrow")

@@ -69,4 +69,7 @@ def topk_cosine(
     order = np.lexsort((part, -psims), axis=1)
     idx = np.take_along_axis(part, order, axis=1)
     out_sims = np.take_along_axis(psims, order, axis=1)
-    return idx, out_sims.astype(np.float32)
+    # float64 end-to-end: the oracle (DuckDB list_cosine_similarity) is
+    # float64; a float32 downcast can flip values across a 5e-5 rounding
+    # boundary between the engines.
+    return idx, out_sims.astype(np.float64)

@@ -49,7 +49,14 @@ def quality_stats(text: pa.Array | pa.ChunkedArray) -> dict[str, pa.Array]:
     n_space = pc.count_substring_regex(text, r"[ \t\n]")
     n_punct = pc.count_substring_regex(text, r"[^A-Za-z0-9 \t\n]")
     denom = pc.max_element_wise(n_chars, pa.scalar(1, n_chars.type))
-    f = lambda x: pc.round(pc.divide(pc.cast(x, pa.float64()), pc.cast(denom, pa.float64())), ndigits=4)
+    # round_mode: DuckDB's round() is half-away-from-zero; Arrow defaults to
+    # half-to-even.  The ratio columns are small-integer fractions, so exact
+    # 5e-5 ties are common — the mode must match the oracle.
+    f = lambda x: pc.round(
+        pc.divide(pc.cast(x, pa.float64()), pc.cast(denom, pa.float64())),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
     return {
         "n_chars": n_chars,
         "n_words": n_words,

@@ -56,11 +56,21 @@ def grouped_agg(sf_dir: str):
 
 
 def _round_cols(cols, nd=2):
+    # half_towards_infinity == DuckDB round(); Arrow's default half-to-even
+    # diverges on exact ties (root cause of the round-1 doc_quality mismatch).
     def f(t: pa.Table) -> pa.Table:
         for c in cols:
             if c in t.column_names:
                 i = t.schema.get_field_index(c)
-                t = t.set_column(i, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=nd))
+                t = t.set_column(
+                    i,
+                    c,
+                    pc.round(
+                        pc.cast(t[c], pa.float64()),
+                        ndigits=nd,
+                        round_mode="half_towards_infinity",
+                    ),
+                )
         return t
 
     return f

@@ -46,7 +46,24 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    # pin output dtypes to the oracle's: the pandas path emits
+    # datetime64[ns] / platform ints, the parquet source (and DuckDB) use
+    # timestamp[us] / int64 — a representation-level hash mismatch otherwise.
+    def cast(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "user_id": pa.compute.cast(t["user_id"], pa.int64()),
+                "session_id": pa.compute.cast(t["session_id"], pa.int64()),
+                "n_events": pa.compute.cast(t["n_events"], pa.int64()),
+                "t_start": pa.compute.cast(t["t_start"], pa.timestamp("us")),
+            }
+        )
+
+    return out.map_batches(cast, batch_format="pyarrow")
 
 
 def running_sum(sf_dir: str):
@@ -56,12 +73,14 @@ def running_sum(sf_dir: str):
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        from .util import round_half_away
+
         g = g.sort_values(["ts", "event_id"])
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "user_id": g["user_id"].to_numpy(),
-                "running_value": np.round(np.cumsum(g["value"].to_numpy()), 2),
+                "running_value": round_half_away(np.cumsum(g["value"].to_numpy()), 2),
             }
         )
 

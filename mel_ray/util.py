@@ -2,6 +2,19 @@
 
 from __future__ import annotations
 
+import numpy as np
+
+
+def round_half_away(x: "np.ndarray", nd: int) -> "np.ndarray":
+    """Round half away from zero (DuckDB ``round()`` semantics).
+
+    ``np.round`` is half-to-even, which diverges from the SQL oracle on
+    exact ties — use this for any float column that is hash-compared.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    scale = 10.0**nd
+    return np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+
 
 def cluster_cpus(default: int = 8) -> int:
     """Total CPUs of the (already initialised) Ray cluster; never inits Ray."""
