@@ -31,7 +31,9 @@ def minhash_signature(
 ) -> np.ndarray:
     """``(N, num_hashes)`` uint64 signature matrix from ragged shingle hashes.
 
-    Rows with zero shingles get all-sentinel signatures (never collide).
+    Rows with zero shingles get all-sentinel signatures; sentinel rows are
+    IDENTICAL to each other, so band expansion must drop them (see
+    :func:`empty_signature_mask`) and :func:`estimate_jaccard` scores them 0.
     Processes seeds in chunks of 16 to bound the (M, chunk) temp matrix.
     """
     n_rows = len(row_offsets) - 1
@@ -81,13 +83,30 @@ def band_keys(
     return band_id, folded.reshape(-1)
 
 
+def empty_signature_mask(sig: np.ndarray) -> np.ndarray:
+    """(N,) bool: rows whose signature is the all-sentinel "no shingles"
+    marker.  Works on full uint64 signatures and on uint32-truncated ones
+    (the sentinel truncates to 0xFFFFFFFF; a real min over splitmix64
+    draws hits all-max with probability ~2^-32K).
+    """
+    if sig.dtype == np.uint32:
+        return (sig == np.uint32(0xFFFFFFFF)).all(axis=1)
+    return (sig == _EMPTY_SENTINEL).all(axis=1)
+
+
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     """Fraction of agreeing signature slots — unbiased Jaccard estimate.
 
     ``sig_a``/``sig_b``: (P, K) uint64.  The scorer's verify step
     (oracle-checked against exact Jaccard in tests).
+
+    Empty rows (all-sentinel signatures) estimate 0 against everything:
+    two shingle-less documents share every sentinel slot but have true
+    Jaccard 0 — without this guard they'd verify at est=1.0.
     """
-    return (sig_a == sig_b).mean(axis=1).astype(np.float32)
+    est = (sig_a == sig_b).mean(axis=1).astype(np.float32)
+    est[empty_signature_mask(sig_a) | empty_signature_mask(sig_b)] = 0.0
+    return est
 
 
 def exact_jaccard(values: np.ndarray, row_offsets: np.ndarray, i: int, j: int) -> float:

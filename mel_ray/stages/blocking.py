@@ -97,8 +97,19 @@ def binary_matrix(col: pa.Array | pa.ChunkedArray, dtype) -> np.ndarray:
 def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     """features -> b band rows per record (the flat_map row expansion,
     analogue of DaMuELLinkProcessor's entity->links expansion,
-    reference ``loaders/damuel.py:74-116``)."""
+    reference ``loaders/damuel.py:74-116``).
+
+    Shingle-less records (all-sentinel signatures) are dropped before
+    banding: their signatures are identical across rows, so they would
+    otherwise collide in every band and verify at est_jaccard=1.0
+    despite true Jaccard 0."""
+    from ..functions.minhash import empty_signature_mask
+
     sig32 = binary_matrix(batch["sig"], np.uint32)
+    nonempty = ~empty_signature_mask(sig32)
+    if not nonempty.all():
+        sig32 = sig32[nonempty]
+        batch = batch.filter(pa.array(nonempty))
     band_id, band_hash = band_keys(sig32.astype(np.uint64), cfg.num_bands)
     rid = np.repeat(batch["record_id"].to_numpy(), cfg.num_bands)
     bucket = (band_hash % U64(cfg.num_buckets)).astype(np.int32)

@@ -70,11 +70,12 @@ def verify_candidates(
     thresh = scoring.jaccard_accept
 
     def estimate(t: pa.Table) -> pa.Table:
+        from ..functions.minhash import estimate_jaccard
         from .blocking import binary_matrix
 
         sig_a = binary_matrix(t["sig_a"], np.uint32)
         sig_b = binary_matrix(t["sig_b"], np.uint32)
-        est = (sig_a == sig_b).mean(axis=1).astype(np.float32)
+        est = estimate_jaccard(sig_a, sig_b)  # empty-signature pairs -> 0
         keep = est >= thresh
         return pa.table(
             {
@@ -214,11 +215,13 @@ class BroadcastPairScorer:
         self.cfg = scoring
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.minhash import estimate_jaccard
+
         a = batch["id_a"].to_numpy()
         b = batch["id_b"].to_numpy()
         ia = np.searchsorted(self.ids, a)
         ib = np.searchsorted(self.ids, b)
-        est_j = (self.sig[ia] == self.sig[ib]).mean(axis=1).astype(np.float32)
+        est_j = estimate_jaccard(self.sig[ia], self.sig[ib])  # empty sigs -> 0
         keep = est_j >= self.cfg.jaccard_accept
         ia, ib, est_j = ia[keep], ib[keep], est_j[keep]
         emb_a = self.emb[ia].astype(np.float32)

@@ -13,13 +13,14 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count
 
-from .config import BlockingConfig
+from .config import BlockingConfig, ScoringConfig
 from .functions import textstats as TS
-from .functions.hashing import U64
-from .functions.minhash import band_keys, estimate_jaccard, minhash_signature
+from .functions.hashing import U64, splitmix64
+from .functions.minhash import minhash_signature
 from .functions.shingles import word_ngram_hashes
 from .functions.simhash import simhash64
-from .stages.blocking import _emit_pairs_for_bucket, dedup_pairs
+from .stages.blocking import _binary_rows, _emit_pairs_for_bucket, dedup_pairs
+from .util import round_half_away
 
 
 def _docs(sf_dir: str, columns=None):
@@ -124,72 +125,63 @@ def doc_simhash(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _doc_bands(t: pa.Table, cfg: BlockingConfig, ngram: int) -> pa.Table:
-    v, off = word_ngram_hashes(t["text"], n=ngram)
-    sig = minhash_signature(v, off, cfg.num_hashes)
-    _, bh = band_keys(sig, cfg.num_bands)
-    rid = np.repeat(t["doc_id"].to_numpy(), cfg.num_bands)
-    bucket = (bh % U64(cfg.num_buckets)).astype(np.int32)
-    return pa.table(
-        {
-            "record_id": pa.array(rid),
-            "band_hash": pa.array(bh.view(np.int64)),
-            "bucket": pa.array(bucket),
-        }
-    )
+def _doc_features(sf_dir: str, ngram: int, cfg: BlockingConfig):
+    """documents -> (record_id, sig) compact MinHash feature table.
+
+    Same wire shape as the flagship blocking features (uint32-truncated
+    signature as a fixed-width binary blob — Acero-joinable), so the
+    standalone doc near-dup ops can reuse ``candidate_pairs`` and the
+    ``verify_candidates`` join cascade verbatim.  Materialized by the
+    caller so banding and the two verify joins share one computation.
+    """
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        v, off = word_ngram_hashes(t["text"], n=ngram)
+        sig = minhash_signature(v, off, cfg.num_hashes)
+        sig32 = (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return pa.table(
+            {
+                "record_id": pc.cast(t["doc_id"], pa.int64()),
+                "sig": _binary_rows(np.ascontiguousarray(sig32)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def doc_minhash_lsh_pairs(sf_dir: str, ngram: int = 2, threshold: float = 0.5):
     """MinHash-LSH near-duplicate doc pairs with signature-verified
     Jaccard >= threshold (doc_id_a < doc_id_b).
 
-    Same kernels as the flagship blocking stage, applied to word
-    n-grams of ``documents.text``; candidates from banded collisions,
-    verified by signature agreement (D6)."""
+    The flagship composition end to end (D6): banded candidates via
+    ``candidate_pairs`` (salting + stopbands included), then the
+    ``verify_candidates`` signature JOIN cascade — signatures arrive at
+    the verifier by hash join on the pair ids, never via a driver-side
+    collect, so the op holds at corpus scale (the round-1 version
+    broadcast the whole signature matrix)."""
+    from .stages.blocking import candidate_pairs
+    from .stages.scoring import verify_candidates
+    from .util import auto_join_partitions
+
     cfg = BlockingConfig()
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(lambda t: _doc_bands(t, cfg, ngram), batch_format="pyarrow")
-    pairs = (
-        bands.groupby("bucket")
-        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pandas")
-        .map_batches(
-            lambda t: t.filter(pc.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
-                ["id_a", "id_b"]
-            ),
-            batch_format="pyarrow",
-        )
+    feats = _doc_features(sf_dir, ngram, cfg).materialize()
+    pairs = candidate_pairs(feats, cfg)
+    verified = verify_candidates(
+        pairs, feats, ScoringConfig(jaccard_accept=threshold), auto_join_partitions(None)
     )
-    pairs = dedup_pairs(pairs, cfg.num_buckets)
 
-    # verify: recompute signatures for the (small) doc set, broadcast, filter
-    import ray as _ray
+    def fin(t: pa.Table) -> pa.Table:
+        est = round_half_away(t["est_jaccard"].to_numpy().astype(np.float64), 4)
+        return pa.table(
+            {
+                "doc_id_a": t["id_a"],
+                "doc_id_b": t["id_b"],
+                "est_jaccard": pa.array(est),
+            }
+        )
 
-    tbl = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    v, off = word_ngram_hashes(pa.array(tbl.text.tolist()), n=ngram)
-    sig = minhash_signature(v, off, cfg.num_hashes)
-    index = {int(d): i for i, d in enumerate(tbl.doc_id)}
-    ref = _ray.put((sig, index))
-
-    class Verify:
-        def __init__(self, ref):
-            self.sig, self.index = _ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["id_a"].to_numpy()
-            b = t["id_b"].to_numpy()
-            ia = np.array([self.index[int(x)] for x in a], dtype=np.int64)
-            ib = np.array([self.index[int(x)] for x in b], dtype=np.int64)
-            est = estimate_jaccard(self.sig[ia], self.sig[ib])
-            keep = est >= threshold
-            return pa.table(
-                {
-                    "doc_id_a": pa.array(a[keep]),
-                    "doc_id_b": pa.array(b[keep]),
-                    "est_jaccard": pa.array(np.round(est[keep].astype(np.float64), 4)),
-                }
-            )
-
-    return pairs.map_batches(Verify, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return verified.map_batches(fin, batch_format="pyarrow")
 
 
 def doc_length_histogram(sf_dir: str):
@@ -212,139 +204,200 @@ def doc_length_histogram(sf_dir: str):
 def doc_simhash_pairs(sf_dir: str, max_hamming: int = 8):
     """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) <= K.
 
-    Distributed by the pigeonhole block trick: split the 64-bit
-    fingerprint into 4 x 16-bit chunks; any pair within Hamming <= 3*... 
-    a pair at distance <= K with K < chunks must agree on >= 1 chunk, so
-    grouping by (chunk_id, chunk_value) yields a complete candidate set
-    for small K; candidates are then verified exactly.  (Charikar
-    simhash + Manku-et-al chunk blocking.)"""
-    import ray as _ray
-    from ray.data.aggregate import Count as _Count
-
+    Distributed by the pigeonhole block trick (Charikar simhash +
+    Manku-et-al chunk blocking): the 64-bit fingerprint is split into
+    ``K + 1`` chunks, so any pair within Hamming distance K leaves at
+    least one chunk untouched and must agree exactly on it — grouping by
+    (chunk_id, chunk_value) is therefore a COMPLETE candidate set for
+    the advertised K (the round-1 4-chunk version silently missed
+    distances 4-8).  More chunks = narrower chunk values = bigger
+    buckets; the shared salted/stop-banded pair emitter bounds the
+    quadratic blowup, and candidates are verified exactly by JOINING the
+    8-byte fingerprints onto the pairs (no driver-held fingerprint map).
+    """
+    cfg = BlockingConfig()
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fingerprints(t: pa.Table) -> pa.Table:
         v, off = word_ngram_hashes(t["text"], n=2)
         sh = simhash64(v, off)
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sh.view(np.int64))})
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "simhash": pa.array(sh.view(np.int64)),
+            }
+        )
 
-    fps = ds.map_batches(fingerprints, batch_format="pyarrow")
+    fps = ds.map_batches(fingerprints, batch_format="pyarrow").materialize()
+
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
 
     def expand(t: pa.Table) -> pa.Table:
         sh = t["simhash"].to_numpy().view(np.uint64)
         did = t["doc_id"].to_numpy()
-        chunks = []
-        ids = []
-        cidx = []
-        for c in range(4):
-            chunk = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-            chunks.append(chunk)
-            ids.append(did)
-            cidx.append(np.full(len(did), c, dtype=np.int64))
-        key = np.concatenate(cidx) * (1 << 16) + np.concatenate(chunks)
+        keys = []
+        shift = 0
+        with np.errstate(over="ignore"):
+            for c, w in enumerate(widths):
+                val = (sh >> np.uint64(shift)) & np.uint64((1 << w) - 1)
+                shift += w
+                # mix chunk index into the key so identical values in
+                # different chunk positions land in different bands
+                keys.append(splitmix64(val ^ splitmix64(np.full_like(val, c))))
+        key = np.concatenate(keys)
+        rid = np.tile(did, n_chunks)
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate(ids)),
-                "band_hash": pa.array(key),
-                "bucket": pa.array((key % 16).astype(np.int32)),
+                "record_id": pa.array(rid),
+                "band_hash": pa.array(key.view(np.int64)),
+                "bucket": pa.array((key % U64(cfg.num_buckets)).astype(np.int32)),
             }
         )
-
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        bh = group["band_hash"].to_numpy()
-        rid = group["doc_id"].to_numpy()
-        order = np.lexsort((rid, bh))
-        bh, rid = bh[order], rid[order]
-        change = np.flatnonzero(np.diff(bh) != 0) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(bh)]])
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            mem = np.unique(rid[s:e])
-            if len(mem) < 2:
-                continue
-            iu, ju = np.triu_indices(len(mem), k=1)
-            out_a.append(mem[iu])
-            out_b.append(mem[ju])
-        if not out_a:
-            return pd.DataFrame({"id_a": np.empty(0, np.int64), "id_b": np.empty(0, np.int64)})
-        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
     cands = (
         fps.map_batches(expand, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(emit, batch_format="pandas")
+        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pandas")
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
+                ["id_a", "id_b"]
+            ),
+            batch_format="pyarrow",
+        )
     )
-    cands = dedup_pairs(cands, 16)
+    cands = dedup_pairs(cands, cfg.num_buckets)
 
-    fp_tbl = fps.to_pandas()
-    fp_map = dict(zip(fp_tbl.doc_id.astype(int), fp_tbl.simhash.astype(np.int64)))
-    ref = _ray.put(fp_map)
+    # exact verify: fingerprints arrive by hash join (8 B/row), scale-safe
+    from .stages.scoring import JOIN_AGG_ARGS, _rename
+    from .util import auto_join_partitions
 
-    class VerifyHamming:
-        def __init__(self, ref):
-            self.fp = _ray.get(ref)
+    nparts = auto_join_partitions(None)
+    fa = _rename(fps, {"doc_id": "id_a", "simhash": "fp_a"}, ["doc_id", "simhash"])
+    fb = _rename(fps, {"doc_id": "id_b", "simhash": "fp_b"}, ["doc_id", "simhash"])
+    j = cands.join(fa, join_type="inner", num_partitions=nparts, on=("id_a",),
+                   aggregator_ray_remote_args=JOIN_AGG_ARGS)
+    j = j.join(fb, join_type="inner", num_partitions=nparts, on=("id_b",),
+               aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            from .functions.simhash import hamming64
+    def verify(t: pa.Table) -> pa.Table:
+        from .functions.simhash import hamming64
 
-            a = t["id_a"].to_numpy()
-            b = t["id_b"].to_numpy()
-            fa = np.array([self.fp[int(x)] for x in a], dtype=np.int64).view(np.uint64)
-            fb = np.array([self.fp[int(x)] for x in b], dtype=np.int64).view(np.uint64)
-            d = hamming64(fa, fb)
-            keep = d <= max_hamming
-            return pa.table(
-                {
-                    "doc_id_a": pa.array(a[keep]),
-                    "doc_id_b": pa.array(b[keep]),
-                    "hamming": pa.array(d[keep].astype(np.int64)),
-                }
-            )
+        d = hamming64(t["fp_a"].to_numpy().view(np.uint64), t["fp_b"].to_numpy().view(np.uint64))
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "doc_id_a": pa.array(t["id_a"].to_numpy()[keep]),
+                "doc_id_b": pa.array(t["id_b"].to_numpy()[keep]),
+                "hamming": pa.array(d[keep].astype(np.int64)),
+            }
+        )
 
-    return cands.map_batches(VerifyHamming, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _ragged_unique(values: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique each row of a ragged uint64 array, fully vectorized
+    (one global lexsort, no per-row Python)."""
+    n = len(offsets) - 1
+    counts = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((values, row_of))
+    v, r = values[order], row_of[order]
+    keep = np.ones(len(v), dtype=bool)
+    if len(v) > 1:
+        keep[1:] = (np.diff(r) != 0) | (v[1:] != v[:-1])
+    v, r = v[keep], r[keep]
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(r, minlength=n), out=out_off[1:])
+    return v, out_off
+
+
+def _ragged_binary(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Ragged uint64 rows -> variable-width binary column (Acero-joinable)."""
+    n = len(offsets) - 1
+    data = pa.py_buffer(np.ascontiguousarray(values.astype(np.uint64)).tobytes())
+    off32 = pa.py_buffer((offsets.astype(np.int64) * 8).astype(np.int32).tobytes())
+    return pa.Array.from_buffers(pa.binary(), n, [None, off32, data])
+
+
+def _ragged_from_binary(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buffers = col.buffers()
+    off = np.frombuffer(buffers[1], dtype=np.int32)[col.offset : col.offset + len(col) + 1]
+    start = off[0]
+    values = np.frombuffer(buffers[2], dtype=np.uint64, offset=int(start),
+                           count=int((off[-1] - start)) // 8)
+    return values, ((off - start) // 8).astype(np.int64)
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 2, threshold: float = 0.3):
     """EXACT word-n-gram Jaccard near-dup pairs (doc_id_a < doc_id_b,
-    jaccard rounded 4): LSH banding proposes candidates, exact set
-    Jaccard verifies — the candidate-then-verify composition the
-    flagship uses, with an exact (not estimated) verifier."""
-    import ray as _ray
+    jaccard rounded 4): LSH banding proposes candidates (signature
+    pre-filter at est >= 0.15 kills band noise cheaply), then the exact
+    verifier JOINS each side's sorted-unique gram set (binary-encoded
+    ragged uint64) onto the pairs and intersects with one global
+    sort+bincount per batch — co-partitioned state, vectorized, no
+    driver-held set dictionary, no per-pair Python loop."""
+    from .stages.blocking import candidate_pairs
+    from .stages.scoring import JOIN_AGG_ARGS, _rename, verify_candidates
+    from .util import auto_join_partitions
 
-    pairs = doc_minhash_lsh_pairs(sf_dir, ngram=n, threshold=0.15)
+    cfg = BlockingConfig()
+    feats = _doc_features(sf_dir, n, cfg).materialize()
+    cands = candidate_pairs(feats, cfg)
+    nparts = auto_join_partitions(None)
+    pairs = verify_candidates(cands, feats, ScoringConfig(jaccard_accept=0.15), nparts)
 
-    tbl = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    v, off = word_ngram_hashes(pa.array(tbl.text.tolist()), n=n)
-    sets = {
-        int(d): frozenset(v[off[i] : off[i + 1]].tolist()) for i, d in enumerate(tbl.doc_id)
-    }
-    ref = _ray.put(sets)
+    def gram_sets(t: pa.Table) -> pa.Table:
+        v, off = word_ngram_hashes(t["text"], n=n)
+        uv, uoff = _ragged_unique(v, off)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "grams": _ragged_binary(uv, uoff),
+            }
+        )
 
-    class ExactJaccard:
-        def __init__(self, ref):
-            self.sets = _ray.get(ref)
+    grams = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gram_sets, batch_format="pyarrow"
+    ).materialize()
+    ga = _rename(grams, {"doc_id": "id_a", "grams": "grams_a"}, ["doc_id", "grams"])
+    gb = _rename(grams, {"doc_id": "id_b", "grams": "grams_b"}, ["doc_id", "grams"])
+    j = pairs.join(ga, join_type="inner", num_partitions=nparts, on=("id_a",),
+                   aggregator_ray_remote_args=JOIN_AGG_ARGS)
+    j = j.join(gb, join_type="inner", num_partitions=nparts, on=("id_b",),
+               aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["doc_id_a"].to_numpy()
-            b = t["doc_id_b"].to_numpy()
-            out_a, out_b, out_j = [], [], []
-            for x, y in zip(a, b):
-                sa, sb = self.sets[int(x)], self.sets[int(y)]
-                union = len(sa | sb)
-                j = len(sa & sb) / union if union else 0.0
-                if j >= threshold:
-                    out_a.append(int(x))
-                    out_b.append(int(y))
-                    out_j.append(round(j, 4))
-            return pa.table(
-                {
-                    "doc_id_a": pa.array(np.asarray(out_a, np.int64)),
-                    "doc_id_b": pa.array(np.asarray(out_b, np.int64)),
-                    "jaccard": pa.array(np.asarray(out_j, np.float64)),
-                }
-            )
+    def exact(t: pa.Table) -> pa.Table:
+        va, offa = _ragged_from_binary(t["grams_a"])
+        vb, offb = _ragged_from_binary(t["grams_b"])
+        p = len(t)
+        la = (offa[1:] - offa[:-1]).astype(np.int64)
+        lb = (offb[1:] - offb[:-1]).astype(np.int64)
+        pid = np.concatenate(
+            [np.repeat(np.arange(p, dtype=np.int64), la),
+             np.repeat(np.arange(p, dtype=np.int64), lb)]
+        )
+        vals = np.concatenate([va, vb])
+        order = np.lexsort((vals, pid))
+        v, q = vals[order], pid[order]
+        # each side is unique within itself -> adjacent dups are cross-side
+        dup = np.zeros(len(v), dtype=bool)
+        if len(v) > 1:
+            dup[1:] = (np.diff(q) == 0) & (v[1:] == v[:-1])
+        inter = np.bincount(q[dup], minlength=p)
+        union = np.maximum(la + lb - inter, 1)
+        jac = inter / union
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_id_a": pa.array(t["id_a"].to_numpy()[keep]),
+                "doc_id_b": pa.array(t["id_b"].to_numpy()[keep]),
+                "jaccard": pa.array(round_half_away(jac[keep], 4)),
+            }
+        )
 
-    return pairs.map_batches(ExactJaccard, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return j.map_batches(exact, batch_format="pyarrow")

@@ -101,6 +101,61 @@ class TestDedupOps:
         assert (got.jaccard >= 0.3).all()
         assert (got.doc_id_a < got.doc_id_b).all()
 
+    def test_empty_docs_never_pair(self):
+        """Shingle-less rows (whitespace/punct-only) share the all-sentinel
+        signature; they must NOT verify as near-dupes of each other
+        (true Jaccard 0 — ADVICE round 1)."""
+        from mel_ray.functions.minhash import estimate_jaccard, minhash_signature
+        from mel_ray.functions.shingles import word_ngram_hashes
+
+        texts = pa.array(["   \n\t  ", "!!! ??? ...", "a real document with words here"])
+        v, off = word_ngram_hashes(texts, n=2)
+        sig = minhash_signature(v, off, 128)
+        est = estimate_jaccard(sig[[0]], sig[[1]])
+        assert est[0] == 0.0
+        # and band expansion drops them entirely
+        import numpy as np
+
+        from mel_ray.config import BlockingConfig
+        from mel_ray.stages.blocking import _binary_rows, expand_bands_batch
+
+        sig32 = (sig & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        batch = pa.table(
+            {
+                "record_id": pa.array([0, 1, 2], pa.int64()),
+                "sig": _binary_rows(np.ascontiguousarray(sig32)),
+            }
+        )
+        bands = expand_bands_batch(batch, BlockingConfig())
+        assert set(bands["record_id"].to_numpy()) == {2}
+
+    def test_simhash_pairs_complete_at_distance_8(self):
+        """Pigeonhole completeness: with chunks = K+1 every pair within
+        Hamming <= K shares a chunk (the round-1 4-chunk scheme missed
+        distances 4-8 whose flips straddled all chunks)."""
+        import numpy as np
+
+        from mel_ray.config import BlockingConfig
+        from mel_ray.functions.hashing import splitmix64
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(0, 2**63, dtype=np.int64).astype(np.uint64)
+        # flip 8 bits spread maximally (would straddle 4x16-bit chunks)
+        flipped = base
+        for bit in [3, 11, 19, 27, 35, 43, 51, 59]:
+            flipped = flipped ^ np.uint64(1 << bit)
+        n_chunks, K = 9, 8
+        b, r = divmod(64, n_chunks)
+        widths = [b + 1] * r + [b] * (n_chunks - r)
+        shift = 0
+        agree = 0
+        for w in widths:
+            m = np.uint64((1 << w) - 1)
+            if (base >> np.uint64(shift)) & m == (flipped >> np.uint64(shift)) & m:
+                agree += 1
+            shift += w
+        assert agree >= 1  # candidate set would contain the pair
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestMultimodal:
