@@ -2,57 +2,98 @@
 
 Recast of the reference's searcher family (T5:
 ``src/models/searchers/*.py``): brute-force batched matmul top-k as the
-exact baseline, an LSH-bucketed variant as the scale path (the
-ScaNN-partitioned analogue), plus near-dup pairs and grouped centroids
-(A6 ``combine_embs_by_qid``).
+exact baseline, a bucket-PARTITIONED LSH variant as the scale path (the
+ScaNN-partitioned analogue, ``scann_searcher.py:6-49``), block-pair
+exact near-dup detection, and grouped centroids (A6
+``combine_embs_by_qid``).
+
+Scale posture (round-2 rework): no operator materializes the embedding
+table on the driver.  The index is built by ``map_batches`` tasks and
+travels as materialized Arrow blocks in the object store; searchers
+assemble from block refs (brute force — the documented exact-baseline
+cost of one worker holding the matrix), search within their hash bucket
+(LSH — state partitioned by ``groupby(bucket)``), or fetch exactly two
+blocks per task (near-dupes).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
 
-from .functions.embed import topk_cosine
+from .util import round_half_away
+
+_DIM_SENTINEL = 0  # unit vectors are float64; width derived per batch
 
 
-def _emb_table(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    tbl = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").to_pandas()
-    ids = tbl.vec_id.to_numpy(dtype=np.int64)
-    labels = tbl.label.to_numpy(dtype=np.int64)
-    mat = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
-    return ids, labels, mat
+def _unit_features(sf_dir: str) -> "ray.data.Dataset":
+    """embeddings -> (vec_id, unit) with unit = L2-normalized float64
+    vector as a fixed-width binary blob (Acero-joinable, zero-copy
+    decodable) — built distributed, one batch at a time."""
+    from .stages.blocking import _binary_rows
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "vec_id": pa.compute.cast(t["vec_id"], pa.int64()),
+                "unit": _binary_rows(np.ascontiguousarray(unit)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _query_ids(sf_dir: str, num_queries: int) -> "ray.data.Dataset":
+    """first ``num_queries`` vec_ids (ORDER BY vec_id LIMIT n), as a
+    small Dataset split into 2 blocks so a concurrency-2 pool fills."""
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .sort("vec_id")
+        .limit(num_queries)
+        .map_batches(
+            lambda t: pa.table({"query_id": pa.compute.cast(t["vec_id"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .repartition(2)
+    )
 
 
 def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
     """exact top-k cosine neighbors of the first ``num_queries`` vectors
     (by vec_id), self excluded; ties -> lower vec_id.
 
-    The index is broadcast once via ``ray.put`` (it is the small side);
-    each actor holds it and scores its query batch with one matmul —
+    The index is built DISTRIBUTED (``_unit_features`` map_batches,
+    materialized to object-store blocks); each searcher actor assembles
+    the matrix from the block refs in ``__init__`` — the exact-baseline
+    cost is one worker holding the full matrix, never the driver.
     ``BruteForceSearcher.find`` recast (brute_force_searcher.py:28-36).
     """
-    ids, _, mat = _emb_table(sf_dir)
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    unit = mat / np.maximum(norms, 1e-12)
-    index_ref = ray.put((ids, unit, mat, norms[:, 0]))
+    from .stages.blocking import binary_matrix
 
-    qids = ids[:num_queries]
-    queries = ray.data.from_arrow(pa.table({"query_id": pa.array(qids)}))
+    index_refs = _unit_features(sf_dir).materialize().to_arrow_refs()
+    queries = _query_ids(sf_dir, num_queries)
 
     class Searcher:
-        def __init__(self, ref):
-            self.ids, self.unit, self.mat, self.norms = ray.get(ref)
-            self.pos = {int(v): i for i, v in enumerate(self.ids)}
+        def __init__(self, refs):
+            tables = [t for t in ray.get(list(refs)) if len(t)]
+            t = pa.concat_tables(tables).combine_chunks()
+            ids = t["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            self.unit = np.ascontiguousarray(binary_matrix(t["unit"], np.float64)[order])
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from .functions.embed import topk_cosine
+
             q = t["query_id"].to_numpy()
-            qi = np.array([self.pos[int(x)] for x in q])
+            qi = np.searchsorted(self.ids, q)
             idx, sims = topk_cosine(self.unit[qi], self.unit, k + 1)
             out_q, out_n, out_s = [], [], []
             for row, qq in enumerate(qi):
@@ -70,111 +111,208 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
                 {
                     "query_id": pa.array(np.asarray(out_q, np.int64)),
                     "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
-                    "cos_sim": pa.array(np.round(np.asarray(out_s, np.float64), 4)),
-                }
-            )
-
-    return queries.map_batches(Searcher, fn_constructor_args=(index_ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5)
-
-
-def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4, probes: int = 2):
-    """LSH-bucketed approximate top-k: random-hyperplane sign buckets +
-    multi-probe (flip one plane).  The scale path: the index is
-    PARTITIONED by bucket, each query only scores its probed buckets —
-    the ScaNN-partitioned-search analogue (scann_searcher.py:6-49).
-    Recall vs the brute-force oracle is asserted in tests."""
-    ids, _, mat = _emb_table(sf_dir)
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(1234)
-    planes = rng.randn(unit.shape[1], num_planes)
-    codes = (unit @ planes > 0).astype(np.uint32)
-    bucket = np.zeros(len(ids), dtype=np.uint32)
-    for b in range(num_planes):
-        bucket |= codes[:, b] << b
-    index_ref = ray.put((ids, unit, bucket, planes))
-
-    qids = ids[:num_queries]
-    queries = ray.data.from_arrow(pa.table({"query_id": pa.array(qids)}))
-
-    class LshSearcher:
-        def __init__(self, ref):
-            self.ids, self.unit, self.bucket, self.planes = ray.get(ref)
-            self.pos = {int(v): i for i, v in enumerate(self.ids)}
-            self.by_bucket = {}
-            for i, b in enumerate(self.bucket):
-                self.by_bucket.setdefault(int(b), []).append(i)
-            self.by_bucket = {b: np.asarray(v) for b, v in self.by_bucket.items()}
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out_q, out_n, out_s = [], [], []
-            for x in t["query_id"].to_numpy():
-                qi = self.pos[int(x)]
-                b = int(self.bucket[qi])
-                cand = [self.by_bucket.get(b, np.empty(0, np.int64))]
-                for flip in range(self.planes.shape[1]):  # multi-probe: Hamming-1
-                    cand.append(self.by_bucket.get(b ^ (1 << flip), np.empty(0, np.int64)))
-                cand = np.unique(np.concatenate(cand)).astype(np.int64)
-                cand = cand[cand != qi]
-                if len(cand) == 0:
-                    continue
-                sims = self.unit[cand] @ self.unit[qi]
-                top = np.lexsort((cand, -sims))[:k]
-                for j in top:
-                    out_q.append(x)
-                    out_n.append(self.ids[cand[j]])
-                    out_s.append(sims[j])
-            return pa.table(
-                {
-                    "query_id": pa.array(np.asarray(out_q, np.int64)),
-                    "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
-                    "cos_sim": pa.array(np.round(np.asarray(out_s, np.float64), 4)),
+                    "cos_sim": pa.array(round_half_away(np.asarray(out_s, np.float64), 4)),
                 }
             )
 
     return queries.map_batches(
-        LshSearcher, fn_constructor_args=(index_ref,), batch_format="pyarrow", concurrency=2, num_cpus=0.5
+        Searcher, fn_constructor_args=(index_refs,), batch_format="pyarrow",
+        concurrency=2, num_cpus=0.5,
     )
+
+
+def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4, probes: int = 2):
+    """LSH-bucketed approximate top-k: random-hyperplane sign buckets +
+    multi-probe (flip one plane).
+
+    The scale path, now actually partitioned: the index Dataset carries a
+    ``bucket`` column and the search runs inside
+    ``groupby(bucket).map_groups`` — no worker ever holds more than its
+    bucket (the ScaNN-partitioned-search semantics,
+    scann_searcher.py:6-49).  Only the QUERY vectors (the genuinely
+    small side) are broadcast; per-bucket top-k candidates are merged by
+    a final ``groupby(query_id)`` top-k.  Recall vs the brute-force
+    oracle is asserted in tests."""
+    from .stages.blocking import binary_matrix
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        unit_t = _unit_features_batch(t)
+        unit = unit_t["unit_mat"]
+        rng = np.random.RandomState(1234)
+        planes = rng.randn(unit.shape[1], num_planes)
+        codes = (unit @ planes > 0).astype(np.uint32)
+        bucket = np.zeros(len(unit), dtype=np.int32)
+        for b in range(num_planes):
+            bucket |= (codes[:, b] << b).astype(np.int32)
+        from .stages.blocking import _binary_rows
+
+        return pa.table(
+            {
+                "vec_id": unit_t["vec_id"],
+                "bucket": pa.array(bucket),
+                "unit": _binary_rows(np.ascontiguousarray(unit)),
+            }
+        )
+
+    index = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(bucketize, batch_format="pyarrow")
+
+    # query side: the small side only — first n vectors, with their probe set
+    q_tbl = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(num_queries)
+        .to_pandas()
+    )
+    q_ids = q_tbl.vec_id.to_numpy(dtype=np.int64)
+    q_mat = np.stack(q_tbl.embedding.to_numpy()).astype(np.float64)
+    q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(1234)
+    planes = rng.randn(q_unit.shape[1], num_planes)
+    codes = (q_unit @ planes > 0).astype(np.uint32)
+    q_bucket = np.zeros(len(q_ids), dtype=np.int64)
+    for b in range(num_planes):
+        q_bucket |= (codes[:, b].astype(np.int64) << b)
+    probe_map: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_bucket):
+        for pb in [int(b)] + [int(b) ^ (1 << f) for f in range(num_planes)]:
+            probe_map.setdefault(pb, []).append(qi)
+    q_ref = ray.put((q_ids, q_unit, {b: np.asarray(v) for b, v in probe_map.items()}))
+
+    def search_bucket(group: pa.Table) -> pa.Table:
+        ids_q, unit_q, probes_by_bucket = ray.get(q_ref)
+        bucket = int(group["bucket"][0].as_py())
+        probing = probes_by_bucket.get(bucket)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if probing is None:
+            return empty
+        mem_ids = group["vec_id"].to_numpy()
+        mem_unit = binary_matrix(group["unit"], np.float64)
+        sims = mem_unit @ unit_q[probing].T  # (members, nq)
+        out_q, out_n, out_s = [], [], []
+        for col, qi in enumerate(probing):
+            s = sims[:, col]
+            mask = mem_ids != ids_q[qi]  # exclude self
+            cand_ids, cand_s = mem_ids[mask], s[mask]
+            if len(cand_ids) == 0:
+                continue
+            top = np.lexsort((cand_ids, -cand_s))[:k]
+            out_q.extend([ids_q[qi]] * len(top))
+            out_n.extend(cand_ids[top].tolist())
+            out_s.extend(cand_s[top].tolist())
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(out_q, np.int64)),
+                "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
+                "cos_sim": pa.array(np.asarray(out_s, np.float64)),
+            }
+        )
+
+    cands = index.groupby("bucket").map_groups(search_bucket, batch_format="pyarrow")
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        s = group["cos_sim"].to_numpy()
+        nid = group["neighbor_id"].to_numpy()
+        top = np.lexsort((nid, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(group["query_id"].to_numpy()[top]),
+                "neighbor_id": pa.array(nid[top]),
+                "cos_sim": pa.array(round_half_away(s[top], 4)),
+            }
+        )
+
+    return cands.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def _unit_features_batch(t: pa.Table) -> dict:
+    """batch helper: raw embedding list column -> float64 unit matrix."""
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return {"vec_id": pa.compute.cast(t["vec_id"], pa.int64()), "unit_mat": unit}
 
 
 def emb_near_dupes(sf_dir: str, threshold: float = 0.4):
     """all pairs with cosine >= threshold (vec_id_a < vec_id_b) —
-    embedding-cosine near-dup detection.  Distributed as a blocked
-    matmul: the unit matrix is broadcast, each task scores a row-slab
-    against the full index (O(N^2/W) per task, no Python loops)."""
-    ids, _, mat = _emb_table(sf_dir)
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    index_ref = ray.put((ids, unit))
+    embedding-cosine near-dup detection, EXACT.
 
-    slabs = ray.data.from_arrow(pa.table({"row": pa.array(np.arange(len(ids), dtype=np.int64))}))
+    Distributed as a block-pair sweep: the unit matrix is materialized
+    as B object-store blocks; one task per unordered block pair (i <= j)
+    fetches exactly two blocks and scores them with one matmul —
+    O(N^2/B^2) work and 2 blocks of memory per task, nothing on the
+    driver.  (The round-1 version broadcast the full driver-collected
+    matrix.)  For an approximate pre-filtered variant at extreme scale,
+    compose the LSH banding of ``knn_lsh`` in front."""
+    from .stages.blocking import binary_matrix
 
-    class Slab:
-        def __init__(self, ref):
-            self.ids, self.unit = ray.get(ref)
+    blocks = _unit_features(sf_dir).materialize().to_arrow_refs()
+    nb = len(blocks)
+    bi, bj = np.triu_indices(nb)
+    tasks = ray.data.from_arrow(
+        pa.table({"bi": pa.array(bi.astype(np.int64)), "bj": pa.array(bj.astype(np.int64))})
+    ).repartition(max(2, min(len(bi), 16)))
+
+    class BlockPair:
+        def __init__(self, refs):
+            self.refs = list(refs)
+            self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _block(self, i: int):
+            if i not in self.cache:
+                t = ray.get(self.refs[i])
+                self.cache[i] = (
+                    t["vec_id"].to_numpy().astype(np.int64),
+                    np.ascontiguousarray(binary_matrix(t["unit"], np.float64)),
+                )
+            return self.cache[i]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            rows = t["row"].to_numpy()
-            sims = self.unit[rows] @ self.unit.T  # (slab, N)
             out_a, out_b, out_s = [], [], []
-            for r, row in enumerate(rows):
-                hit = np.flatnonzero(sims[r] >= threshold)
-                hit = hit[hit > row]  # canonical a < b by position == id order
-                out_a.extend([self.ids[row]] * len(hit))
-                out_b.extend(self.ids[hit].tolist())
-                out_s.extend(sims[r][hit].tolist())
+            for i, j in zip(t["bi"].to_numpy(), t["bj"].to_numpy()):
+                ids_i, unit_i = self._block(int(i))
+                ids_j, unit_j = self._block(int(j))
+                if len(ids_i) == 0 or len(ids_j) == 0:
+                    continue
+                sims = unit_i @ unit_j.T
+                r, c = np.nonzero(sims >= threshold)
+                if i == j:
+                    keep = r < c
+                    r, c = r[keep], c[keep]
+                a, b, s = ids_i[r], ids_j[c], sims[r, c]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                keep = lo != hi
+                out_a.append(lo[keep])
+                out_b.append(hi[keep])
+                out_s.append(s[keep])
+            if not out_a:
+                return pa.table(
+                    {
+                        "vec_id_a": pa.array([], pa.int64()),
+                        "vec_id_b": pa.array([], pa.int64()),
+                        "cos_sim": pa.array([], pa.float64()),
+                    }
+                )
             return pa.table(
                 {
-                    "vec_id_a": pa.array(np.asarray(out_a, np.int64)),
-                    "vec_id_b": pa.array(np.asarray(out_b, np.int64)),
-                    "cos_sim": pa.array(np.round(np.asarray(out_s, np.float64), 4)),
+                    "vec_id_a": pa.array(np.concatenate(out_a)),
+                    "vec_id_b": pa.array(np.concatenate(out_b)),
+                    "cos_sim": pa.array(round_half_away(np.concatenate(out_s), 4)),
                 }
             )
 
-    return slabs.map_batches(
-        Slab, fn_constructor_args=(index_ref,), batch_format="pyarrow", batch_size=512, concurrency=2, num_cpus=0.5
+    return tasks.map_batches(
+        BlockPair, fn_constructor_args=(blocks,), batch_format="pyarrow",
+        batch_size=4, concurrency=2, num_cpus=0.5,
     )
 
 

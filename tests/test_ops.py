@@ -33,10 +33,14 @@ class TestAnnOps:
         assert np.mean(recalls) >= 0.38 > scan_fraction, np.mean(recalls)
 
     def test_emb_near_dupes_match_naive(self):
-        from mel_ray.annops import _emb_table, emb_near_dupes
+        import pyarrow.parquet as pq
+
+        from mel_ray.annops import emb_near_dupes
 
         got = emb_near_dupes(SF).to_pandas()
-        ids, _, mat = _emb_table(SF)
+        tbl = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        ids = tbl.vec_id.to_numpy(dtype=np.int64)
+        mat = np.stack(tbl.embedding.to_numpy()).astype(np.float64)
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
