@@ -14,10 +14,11 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import annops, corpusops, relational, streamops, textops
+from . import annops, corpusops, relational, sourceops, streamops, textops
 from .functions.textstats import _MARKER_RES, _SCRIPT_RES, TOKEN_RE
 
 _CORPUS_SF001 = "/tmp/mel_ray_corpus/sf0.01"
+_SOURCES_SF001 = "/tmp/mel_ray_sources/sf0.01"
 
 
 def entry() -> Any:
@@ -43,6 +44,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_agg": relational.mean_agg,
         "windowed_agg": relational.windowed_agg,
         "alias_table": relational.alias_table,
+        "event_type_distribution": relational.event_type_distribution,
+        "first_n_distinct": relational.first_n_distinct,
+        # --- source formats beyond parquet (S1/S2) + nested model + shuffle ---
+        "jsonl_ingest": sourceops.jsonl_ingest,
+        "csv_ingest": sourceops.csv_ingest,
+        "nested_links": sourceops.nested_links,
+        "global_shuffle": textops.doc_global_shuffle,
         # --- text analysis / dedup over documents ---
         "doc_exact_dedup": textops.doc_exact_dedup,
         "doc_token_count": textops.doc_token_count,
@@ -123,6 +131,14 @@ def oracle_sql() -> dict[str, str]:
         ensure_corpus("/root/testdata/sf0.01")
     except Exception:
         pass  # SQL strings themselves remain valid
+    try:
+        from . import sourceops as _so
+
+        _so.ensure_jsonl_export("/root/testdata/sf0.01")
+        _so.ensure_tsv_export("/root/testdata/sf0.01")
+        _so.ensure_nested_export("/root/testdata/sf0.01")
+    except Exception:
+        pass
     files = f"read_parquet('{_CORPUS_SF001}/files/*.parquet')"
     renames = f"read_parquet('{_CORPUS_SF001}/repo_renames.parquet')"
     tok = TOKEN_RE
@@ -213,6 +229,39 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY count(*) DESC, event_type ASC) AS rn
               FROM events GROUP BY user_id, event_type)
             WHERE rn <= 2
+        """,
+        "event_type_distribution": """
+            SELECT event_type, count(*) AS n,
+                   round(count(*) * 1.0 / (SELECT count(*) FROM events), 6) AS share
+            FROM events GROUP BY 1
+        """,
+        "first_n_distinct": """
+            SELECT user_id, event_type, first_ts FROM (
+              SELECT user_id, event_type, first_ts,
+                     row_number() OVER (PARTITION BY user_id
+                        ORDER BY first_ts ASC, event_type ASC) AS rn
+              FROM (SELECT user_id, event_type, min(ts) AS first_ts
+                    FROM events GROUP BY 1, 2))
+            WHERE rn <= 3
+        """,
+        "jsonl_ingest": f"""
+            SELECT doc_id, lang, sha256(text) AS text_sha,
+                   length(text) AS n_chars
+            FROM read_json_auto('{_SOURCES_SF001}/jsonl/gz/*.jsonl.gz')
+        """,
+        "csv_ingest": f"""
+            SELECT event_type, count(*) AS n_rows,
+                   round(sum(value), 2) AS sum_value
+            FROM read_csv('{_SOURCES_SF001}/tsv/*.tsv', delim='\t', header=true)
+            GROUP BY 1
+        """,
+        "nested_links": f"""
+            SELECT doc_id, u.target AS target, u.weight AS weight
+            FROM (SELECT doc_id, unnest(links) AS u
+                  FROM read_parquet('{_SOURCES_SF001}/nested/docs_nested.parquet'))
+        """,
+        "global_shuffle": """
+            SELECT doc_id, n_chars FROM documents
         """,
         "sessionize": """
             WITH o AS (

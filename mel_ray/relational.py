@@ -272,6 +272,66 @@ def mean_agg(sf_dir: str):
     return out.map_batches(_round_cols(["avg_qty"], nd=4), batch_format="pyarrow")
 
 
+# --- A5: grouped count -> normalized distribution --------------------------
+def event_type_distribution(sf_dir: str):
+    """count per event_type + normalized share (A5,
+    ``utils/calculate_qids_distribution.py:7-21``: global count-by-key ->
+    probability vector).  The total is a metadata-only ``count()``; the
+    normalize is a broadcast scalar, no second shuffle."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    total = float(ds.count())
+    counts = ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+    def f(t: pa.Table) -> pa.Table:
+        share = pc.round(
+            pc.divide(pc.cast(t["n"], pa.float64()), total),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pc.cast(t["n"], pa.int64()),
+                "share": share,
+            }
+        )
+
+    return counts.map_batches(f, batch_format="pyarrow")
+
+
+# --- O4: first-n-distinct per key ------------------------------------------
+def first_n_distinct(sf_dir: str, n: int = 3):
+    """per user: the first ``n`` distinct event types in first-seen order
+    (O4 ``get_unique_n``, recall_calculator.py:13-20 — distinct-limit
+    preserving stream order, made deterministic as min-event-time order
+    with type tie-break).  Composition: grouped min(ts) then grouped
+    top-n — two small shuffles on already-aggregated rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    firsts = (
+        ds.groupby(["user_id", "event_type"])
+        .min("ts")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "event_type", "first_ts"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def top(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["first_ts", "event_type"]).head(n)
+
+    out = firsts.groupby("user_id").map_groups(top, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "first_ts": pc.cast(t["first_ts"], pa.timestamp("us")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --- §2.9: tumbling event-time window -------------------------------------
 def windowed_agg(sf_dir: str):
     """events -> per (event_type, hour window): count + sum(value).

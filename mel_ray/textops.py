@@ -184,6 +184,18 @@ def doc_minhash_lsh_pairs(sf_dir: str, ngram: int = 2, threshold: float = 0.5):
     return verified.map_batches(fin, batch_format="pyarrow")
 
 
+def doc_global_shuffle(sf_dir: str):
+    """O5 global shuffle — the reference's ``Mixer`` approximates it with
+    repeated buffered local shuffles (``multilingual_dataset/mixer.py:13-100``);
+    Ray Data's ``random_shuffle`` is the exact distributed shuffle in one
+    call.  The oracle is the Mixer's own test invariant (multiset
+    conservation, ``tests/multilingual_dataset/test_mixer.py:34-66``):
+    the driver's hash compare is order-insensitive, so an identity
+    SELECT passes iff the shuffle preserved the row multiset exactly."""
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    return ds.random_shuffle(seed=42)
+
+
 def doc_length_histogram(sf_dir: str):
     """document length histogram in 100-char buckets (quality telemetry,
     StatisticsLogger analogue A9/T9)."""
