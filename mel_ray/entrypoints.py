@@ -94,7 +94,10 @@ def _media_features(sf_dir: str):
     import pyarrow as pa
 
     return out.map_batches(
-        lambda t: t.select(["media_id", "kind", "payload_len"]), batch_format="pyarrow"
+        lambda t: t.select(
+            ["media_id", "kind", "width", "height", "sample_rate", "payload_len"]
+        ),
+        batch_format="pyarrow",
     )
 
 

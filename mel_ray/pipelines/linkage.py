@@ -65,7 +65,12 @@ def run_linkage(
         ),
     )
 
-    pairs = ckpt.through("pairs", lambda: B.candidate_pairs(features, cfg.blocking))
+    band_stats: dict[str, int] = {}
+    pairs = ckpt.through(
+        "pairs", lambda: B.candidate_pairs(features, cfg.blocking, stats_out=band_stats)
+    )
+    if band_stats:  # absent when the stage was restored from checkpoint
+        ckpt.stats["blocking_bands"] = band_stats
 
     scored = ckpt.through(
         "scored",

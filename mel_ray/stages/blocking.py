@@ -204,16 +204,40 @@ def _emit_pairs_for_bucket(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataF
     )
 
 
-def candidate_pairs(features: "ray.data.Dataset", cfg: BlockingConfig) -> "ray.data.Dataset":
-    """features -> globally-unique candidate pairs (id_a < id_b)."""
+def candidate_pairs(
+    features: "ray.data.Dataset",
+    cfg: BlockingConfig,
+    stats_out: dict | None = None,
+) -> "ray.data.Dataset":
+    """features -> globally-unique candidate pairs (id_a < id_b).
+
+    When ``stats_out`` is given, the pre-dedup grouped output is
+    materialized once and the per-bucket ``__stats`` rows are summed into
+    it (``dropped_bands`` / ``salted_bands``) — the no-silent-caps
+    accounting for stopband drops.  The materialization is not extra
+    work for the flagship: the stage boundary right after would
+    materialize anyway, and dedup then reads the cached blocks instead
+    of re-running the band shuffle."""
     bands = features.map_batches(
         lambda b: expand_bands_batch(b, cfg), batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby("bucket").map_groups(
+    grouped = bands.groupby("bucket").map_groups(
         lambda g: _emit_pairs_for_bucket(g, cfg),
         batch_format="pandas",
     )
-    pairs = pairs.map_batches(
+    if stats_out is not None:
+        from ray.data.aggregate import Sum
+
+        grouped = grouped.materialize()
+        agg = grouped.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
+                ["dropped_bands", "salted_bands"]
+            ),
+            batch_format="pyarrow",
+        ).aggregate(Sum("dropped_bands"), Sum("salted_bands"))
+        stats_out["dropped_bands"] = int(agg.get("sum(dropped_bands)") or 0)
+        stats_out["salted_bands"] = int(agg.get("sum(salted_bands)") or 0)
+    pairs = grouped.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
             ["id_a", "id_b"]
         ),

@@ -48,6 +48,9 @@ class MediaFeatureExtractor:
         self.seeds = np.arange(1, feature_dim + 1, dtype=np.uint64) * np.uint64(
             0x9E3779B97F4A7C15
         )
+        # projection frequencies (the "model"), built once per actor
+        self.freqs = ((self.seeds.astype(np.int64) % 97 + 1) / 100.0).astype(np.float64)
+        self._basis_cache: dict[int, np.ndarray] = {}
 
     def _decode_one(self, payload: memoryview, kind: str) -> np.ndarray:
         if self.decoder == "real":
@@ -62,6 +65,16 @@ class MediaFeatureExtractor:
         stride = max(1, len(raw) // 256)
         return raw[::stride][:256].astype(np.float32)
 
+    def _basis(self, n_samples: int) -> np.ndarray:
+        """(n_samples, dim) cosine projection basis, cached per signal
+        length — one matmul replaces the per-row x per-dim loops."""
+        b = self._basis_cache.get(n_samples)
+        if b is None:
+            t = np.arange(n_samples, dtype=np.float64)
+            b = np.cos(np.outer(t, self.freqs))
+            self._basis_cache[n_samples] = b
+        return b
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
@@ -74,17 +87,19 @@ class MediaFeatureExtractor:
             buf = payloads[i].as_buffer()
             sig = self._decode_one(memoryview(buf), kinds[i])
             lens[i] = len(buf)
-            # signal -> features: seeded cosine projections (vectorized)
-            t = np.arange(len(sig))
-            for d in range(self.dim):
-                freq = (int(self.seeds[d]) % 97 + 1) / 100.0
-                feats[i, d] = float(np.cos(t * freq) @ sig) / max(len(sig), 1)
+            # signal -> features: one matmul against the cached basis
+            feats[i] = (sig @ self._basis(len(sig))) / max(len(sig), 1)
         norms = np.linalg.norm(feats, axis=1, keepdims=True)
         feats = feats / np.maximum(norms, 1e-12)
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
+                # typed metadata rides through the stage (real extractors
+                # fill these from the decoded media; here: passthrough)
+                "width": batch["width"],
+                "height": batch["height"],
+                "sample_rate": batch["sample_rate"],
                 "payload_len": pa.array(lens),
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1).astype(np.float32)), self.dim
@@ -126,4 +141,5 @@ def synth_media_dataset(n: int = 64, seed: int = 7) -> "ray.data.Dataset":
             "sample_rate": pa.array(np.where(kinds == "audio", 16000, 0).astype(np.int32)),
         }
     )
-    return ray.data.from_arrow(tbl)
+    # >= 2 blocks so a concurrency-2 actor pool actually fills
+    return ray.data.from_arrow(tbl).repartition(2)

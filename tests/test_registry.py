@@ -1,0 +1,61 @@
+"""Stage registry (§2.10): named dispatch + composition reproduce the
+explicitly-wired pipeline stages."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRegistry:
+    def test_dispatch_and_unknown_name(self):
+        from mel_ray.stages.registry import get_stage, list_stages
+
+        assert "ingest" in list_stages()
+        assert get_stage("featurize").name == "featurize"
+        with pytest.raises(KeyError, match="available"):
+            get_stage("nope")
+
+    def test_composed_stages_match_explicit_wiring(self, tiny_corpus):
+        import ray.data
+
+        from mel_ray.config import LinkageConfig
+        from mel_ray.stages import blocking as B
+        from mel_ray.stages import ingest as I
+        from mel_ray.stages.registry import run_stages
+
+        cfg = LinkageConfig()
+        raw = I.read_corpus(str(tiny_corpus / "files"))
+        via_registry = run_stages(["ingest", "featurize"], raw, cfg).to_pandas()
+        explicit = (
+            I.ingest(I.read_corpus(str(tiny_corpus / "files")))
+            .map_batches(
+                lambda b: B.featurize_batch(
+                    b, cfg.blocking, cfg.scoring.embed_dim, cfg.scoring.embed_kgram
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
+        a = via_registry.sort_values("record_id").reset_index(drop=True)
+        b = explicit.sort_values("record_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_band_stats_surfaced(self, tiny_corpus):
+        """no-silent-caps: candidate_pairs reports dropped/salted band
+        counts when asked (they may be zero on the tiny corpus, but the
+        keys must exist and be non-negative ints)."""
+        from mel_ray.config import LinkageConfig
+        from mel_ray.stages import blocking as B
+        from mel_ray.stages import ingest as I
+        from mel_ray.stages.registry import run_stages
+
+        cfg = LinkageConfig()
+        feats = run_stages(
+            ["ingest", "featurize"], I.read_corpus(str(tiny_corpus / "files")), cfg
+        )
+        stats: dict = {}
+        pairs = B.candidate_pairs(feats, cfg.blocking, stats_out=stats)
+        assert pairs.count() > 0
+        assert stats["dropped_bands"] >= 0 and stats["salted_bands"] >= 0
