@@ -10,7 +10,14 @@ from dataclasses import dataclass, field
 class BlockingConfig:
     num_hashes: int = 128          # MinHash signature width K
     num_bands: int = 32            # b bands of r = K/b rows (s-curve ~0.42)
-    num_buckets: int = 64          # shuffle buckets for band groupby
+    num_buckets: int = 512         # shuffle buckets for band groupby.
+                                   # Purely a parallelism/balance knob (pair
+                                   # emission is per band-run, not per
+                                   # bucket): the groupby sort yields at most
+                                   # num_buckets blocks, and per-run pair
+                                   # work is quadratic, so finer buckets
+                                   # balance the skew (round-1: 64 buckets
+                                   # capped the stage at 1.6x scaling 8->32)
     salt_limit: int = 64           # band size above which members are salted
     stopband_limit: int = 4096     # band size above which the band is dropped
                                    # (the "Paris"-alias cap analogue,

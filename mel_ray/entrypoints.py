@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": sourceops.csv_ingest,
         "nested_links": sourceops.nested_links,
         "global_shuffle": textops.doc_global_shuffle,
+        "hash_split": textops.doc_hash_split,
+        "shuffled_cap": textops.doc_shuffled_cap,
         # --- text analysis / dedup over documents ---
         "doc_exact_dedup": textops.doc_exact_dedup,
         "doc_token_count": textops.doc_token_count,
@@ -265,6 +267,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "global_shuffle": """
             SELECT doc_id, n_chars FROM documents
+        """,
+        "hash_split": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 4 = 1
         """,
         "sessionize": """
             WITH o AS (

@@ -185,13 +185,10 @@ def score_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _collect_features(features: "ray.data.Dataset"):
-    """Materialized features -> (ids_sorted, sig_mat, emb_mat, repo_arr, path_arr)."""
-    import ray as _ray
-
+def _assemble_features(*tables):
+    """(worker task) feature blocks -> (ids_sorted, sig, emb, repo, path)."""
     from .blocking import binary_matrix
 
-    tables = [_ray.get(ref) for ref in features.to_arrow_refs()]
     t = pa.concat_tables(tables).combine_chunks()
     ids = t["record_id"].to_numpy()
     order = np.argsort(ids, kind="stable")
@@ -202,6 +199,18 @@ def _collect_features(features: "ray.data.Dataset"):
     repo = pc.take(t["repo"].combine_chunks(), take)
     path = pc.take(t["path"].combine_chunks(), take)
     return ids, np.ascontiguousarray(sig), np.ascontiguousarray(emb), repo, path
+
+
+def _collect_features_ref(features: "ray.data.Dataset"):
+    """Broadcast-table ref WITHOUT driver materialization: the feature
+    blocks flow from the object store into one assembly TASK whose
+    return value is the broadcast object — the driver only ever holds
+    the ref (the qid-remap table pattern at honest scale)."""
+    import ray as _ray
+
+    refs = features.to_arrow_refs()
+    assemble = _ray.remote(num_returns=1)(_assemble_features)
+    return assemble.remote(*refs)
 
 
 class BroadcastPairScorer:
@@ -257,11 +266,9 @@ def score_pairs_broadcast(
     features: "ray.data.Dataset",
     scoring: ScoringConfig,
 ) -> "ray.data.Dataset":
-    import ray as _ray
-
     from ..util import auto_pool_size
 
-    ref = _ray.put(_collect_features(features))
+    ref = _collect_features_ref(features)
     return pairs.map_batches(
         BroadcastPairScorer,
         fn_constructor_args=(ref, scoring),

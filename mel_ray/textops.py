@@ -168,7 +168,10 @@ def doc_minhash_lsh_pairs(sf_dir: str, ngram: int = 2, threshold: float = 0.5):
     feats = _doc_features(sf_dir, ngram, cfg).materialize()
     pairs = candidate_pairs(feats, cfg)
     verified = verify_candidates(
-        pairs, feats, ScoringConfig(jaccard_accept=threshold), auto_join_partitions(None)
+        pairs,
+        feats,
+        ScoringConfig(jaccard_accept=threshold),
+        auto_join_partitions(None, feats.count()),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -182,6 +185,32 @@ def doc_minhash_lsh_pairs(sf_dir: str, ngram: int = 2, threshold: float = 0.5):
         )
 
     return verified.map_batches(fin, batch_format="pyarrow")
+
+
+def doc_hash_split(sf_dir: str, m: int = 4, r: int = 1):
+    """S12 ``move_tokens`` recast (gathers.py:13-54, F8 filename-hash
+    predicate): deterministic hash-mod shard selection — keep rows whose
+    ``md5(key) % m == r``.  Mirrored exactly by DuckDB's md5 + hex cast."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        h = np.array(
+            [int(hashlib.md5(str(int(x)).encode()).hexdigest()[:8], 16) for x in ids],
+            dtype=np.uint64,
+        )
+        return t.filter(pa.array((h % m) == r))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_shuffled_cap(sf_dir: str, n: int = 100):
+    """O9 cap + random top-up (gathers.py:30-54): global shuffle then
+    limit — a uniform random sample of n rows, streaming.  No SQL oracle
+    (row membership is seed-dependent); tests assert count + subset."""
+    return _docs(sf_dir, ["doc_id", "n_chars"]).random_shuffle(seed=7).limit(n)
 
 
 def doc_global_shuffle(sf_dir: str):
@@ -285,7 +314,7 @@ def doc_simhash_pairs(sf_dir: str, max_hamming: int = 8):
     from .stages.scoring import JOIN_AGG_ARGS, _rename
     from .util import auto_join_partitions
 
-    nparts = auto_join_partitions(None)
+    nparts = auto_join_partitions(None, fps.count())
     fa = _rename(fps, {"doc_id": "id_a", "simhash": "fp_a"}, ["doc_id", "simhash"])
     fb = _rename(fps, {"doc_id": "id_b", "simhash": "fp_b"}, ["doc_id", "simhash"])
     j = cands.join(fa, join_type="inner", num_partitions=nparts, on=("id_a",),
@@ -360,7 +389,7 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 2, threshold: float = 0.3):
     cfg = BlockingConfig()
     feats = _doc_features(sf_dir, n, cfg).materialize()
     cands = candidate_pairs(feats, cfg)
-    nparts = auto_join_partitions(None)
+    nparts = auto_join_partitions(None, feats.count())
     pairs = verify_candidates(cands, feats, ScoringConfig(jaccard_accept=0.15), nparts)
 
     def gram_sets(t: pa.Table) -> pa.Table:

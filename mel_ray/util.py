@@ -25,12 +25,17 @@ def cluster_cpus(default: int = 8) -> int:
     return int(ray.cluster_resources().get("CPU", default))
 
 
-def auto_join_partitions(requested: int | None) -> int:
+def auto_join_partitions(requested: int | None, rows: int | None = None) -> int:
     """Hash-join partition count that cannot starve a small node: the
-    aggregator actors of one join stay under ~half the CPUs."""
+    aggregator actors of one join stay under ~half the CPUs.  When the
+    (materialized) small side's ``rows`` is known, cap partitions so
+    tiny joins don't pay 16 aggregator actors for 25 rows."""
     if requested is not None:
         return requested
-    return max(2, cluster_cpus() // 2)
+    cap = max(2, cluster_cpus() // 2)
+    if rows is not None:
+        cap = min(cap, max(2, rows // 10_000 + 1))
+    return cap
 
 
 def auto_pool_size(requested: int | None) -> int:

@@ -76,6 +76,17 @@ class TestShuffleAndNested:
         ).all()
         assert list(got.doc_id) != list(src.doc_id)
 
+    def test_shuffled_cap_is_valid_sample(self):
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_shuffled_cap
+
+        got = doc_shuffled_cap(SF, n=100).to_pandas()
+        src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+        assert len(got) == 100
+        assert set(got.doc_id) <= set(src.doc_id)
+        assert got.doc_id.is_unique
+
     def test_nested_explode_matches_naive(self):
         import pyarrow.parquet as pq
 
