@@ -23,6 +23,12 @@ class BlockingConfig:
                                    # (the "Paris"-alias cap analogue,
                                    # reference README.md:117-119)
     max_pairs_per_group: int = 200_000  # hard per-bucket-run pair cap
+    # M8/M9 content-window cap: when set, only the first N codepoints of
+    # each record feed shingling/embedding — bounds per-record work by
+    # construction (the reference's char-window truncation before
+    # tokenization, cutting.py:30-48).  None = whole content (default:
+    # synthetic-corpus rows are already bounded).
+    content_window: int | None = None
 
 
 @dataclass(frozen=True)

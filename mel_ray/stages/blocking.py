@@ -50,6 +50,11 @@ def featurize_batch(batch: pa.Table, cfg: BlockingConfig, embed_dim: int, embed_
     content = batch["content"]
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
+    if cfg.content_window is not None:
+        # M8/M9: bound per-record shingle/embed work by construction
+        content = pa.compute.utf8_slice_codeunits(content, 0, cfg.content_window)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
     values, offsets = line_shingles(content)
     sig = minhash_signature(values, offsets, cfg.num_hashes)
     emb = embed_strings(content, dim=embed_dim, k=embed_k)

@@ -215,3 +215,32 @@ class TestEmbed:
             order = np.lexsort((np.arange(50), -full[q]))[:4]
             assert idx[q].tolist() == order.tolist()
             assert idx[q][0] == q  # self is nearest
+
+
+def test_content_window_bounds_featurize_work():
+    """M8/M9: with content_window set, only the first N codepoints feed
+    shingling — a record with a huge tail featurizes identically to its
+    truncated twin."""
+    import pyarrow as pa
+
+    from mel_ray.config import BlockingConfig
+    from mel_ray.stages.blocking import binary_matrix, featurize_batch
+
+    head = "def f():\n    return 1\n"
+    big = head + ("x = 2\n" * 5000)
+    batch = pa.table(
+        {
+            "record_id": pa.array([1, 2], pa.int64()),
+            "repo": pa.array(["r", "r"]),
+            "path": pa.array(["a.py", "b.py"]),
+            "content": pa.array([big, big[: len(head)]]),
+        }
+    )
+    cfg = BlockingConfig(content_window=len(head))
+    out = featurize_batch(batch, cfg, 64, 4)
+    sig = binary_matrix(out["sig"], np.uint32)
+    assert (sig[0] == sig[1]).all()
+    # default (None) sees the tail: signatures differ
+    out2 = featurize_batch(batch, BlockingConfig(), 64, 4)
+    sig2 = binary_matrix(out2["sig"], np.uint32)
+    assert not (sig2[0] == sig2[1]).all()
