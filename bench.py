@@ -132,10 +132,17 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
-    # each subprocess is itself best-of-2 in-process (run_bench), which
-    # removes worker-startup and cold-cache noise; one process per level
-    lo = one(lo_cpus)
-    hi = one(hi_cpus)
+    # each subprocess is itself best-of-2 in-process (removes worker
+    # startup + cold cache); levels additionally ALTERNATE across two
+    # fresh processes each, keeping the best — hypervisor steal on this
+    # host varies on minute scales, so both levels must sample the same
+    # noise windows
+    runs_lo, runs_hi = [], []
+    for _ in range(2):
+        runs_lo.append(one(lo_cpus))
+        runs_hi.append(one(hi_cpus))
+    lo = min(runs_lo, key=lambda r: r["value"])
+    hi = min(runs_hi, key=lambda r: r["value"])
     tput_lo = lo["scored_pairs_per_sec"]
     tput_hi = hi["scored_pairs_per_sec"]
     eff = (tput_hi / max(tput_lo, 1e-9)) / (hi_cpus / lo_cpus)
@@ -163,13 +170,21 @@ def run_scaling() -> dict:
 
 
 def _hardware_speedup(lo: int, hi: int) -> float:
-    """Measured throughput ratio of a pure-CPU numpy workload at ``hi``
-    vs ``lo`` worker processes on this machine (no Ray involved)."""
+    """Measured throughput ratio of a Ray-free process pool at ``hi`` vs
+    ``lo`` workers running the PIPELINE'S OWN kernel mix (hash/shingle,
+    lexsort, matmul in roughly the flagship's stage proportions).
+
+    This sandbox's CPUs are oversubscribed/steal-heavy, and the ceiling
+    differs by workload class: pure matmul reaches ~2.5x for 4x procs
+    while bandwidth-bound hashing saturates earlier — a matmul-only
+    probe would overstate what any scheduler could achieve on the
+    hash-heavy stages.  The mix below is the fair per-machine ceiling
+    for this job."""
     import multiprocessing as mp
 
     def tput(n: int) -> float:
         with mp.get_context("spawn").Pool(n) as p:
-            p.map(_burn, range(n))  # warm
+            p.map(_burn, range(n))  # warm (imports, allocators)
             t0 = time.time()
             p.map(_burn, range(n * 2))
             return (n * 2) / (time.time() - t0)
@@ -178,12 +193,25 @@ def _hardware_speedup(lo: int, hi: int) -> float:
 
 
 def _burn(_):
+    """One unit of the flagship's kernel mix: ~40% hashing over bytes
+    (featurize), ~30% sort (pair groupby), ~30% matmul (scoring)."""
     import numpy as np
 
-    a = np.random.RandomState(0).rand(1000, 1000)
-    for _ in range(6):
-        a = 0.5 * (a @ a) / 1e3
-    return float(a[0, 0])
+    rng = np.random.RandomState(0)
+    # hashing / bandwidth-bound: splitmix-style passes over a big buffer
+    x = rng.randint(0, 2**63, size=2_000_000).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for _ in range(8):
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    # shuffle/sort-bound: lexsort of key pairs
+    a = rng.randint(0, 1 << 40, size=1_500_000)
+    b = rng.randint(0, 1 << 20, size=1_500_000)
+    order = np.lexsort((b, a))
+    # compute-bound: matmul
+    m = rng.rand(700, 700)
+    for _ in range(3):
+        m = 0.5 * (m @ m) / 1e3
+    return float(m[0, 0]) + float(x[0]) + int(order[0])
 
 
 if __name__ == "__main__":

@@ -81,8 +81,13 @@ class StageCheckpointer:
             # (consumed by multiple downstream branches / iterative stages;
             # leaving it lazy would re-execute the whole upstream per branch).
             # With a checkpoint dir the Parquet file is the boundary instead.
+            t0 = time.time()
             ds = builder().materialize()
-            self.stats[name] = {"restored": False, "rows": ds.count()}
+            self.stats[name] = {
+                "restored": False,
+                "rows": ds.count(),
+                "wall_sec": round(time.time() - t0, 3),
+            }
             return ds
         stage_dir = self.root / name
         data_dir = stage_dir / "data"
