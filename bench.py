@@ -131,7 +131,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     # each subprocess is itself best-of-2 in-process (removes worker
     # startup + cold cache); levels additionally ALTERNATE across two
     # fresh processes each, keeping the best — hypervisor steal on this

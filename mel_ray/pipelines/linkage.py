@@ -65,12 +65,13 @@ def run_linkage(
         ),
     )
 
-    band_stats: dict[str, int] = {}
-    pairs = ckpt.through(
-        "pairs", lambda: B.candidate_pairs(features, cfg.blocking, stats_out=band_stats)
+    pairs_full = ckpt.through(
+        "pairs", lambda: B.candidate_pairs(features, cfg.blocking, keep_stats=True)
     )
-    if band_stats:  # absent when the stage was restored from checkpoint
-        ckpt.stats["blocking_bands"] = band_stats
+    # band accounting (no-silent-caps): the stats rows rode through the
+    # pair shuffle; summing them over the materialized stage is cheap
+    ckpt.stats["blocking_bands"] = B.extract_band_stats(pairs_full)
+    pairs = B.strip_band_stats(pairs_full)
 
     scored = ckpt.through(
         "scored",

@@ -193,12 +193,14 @@ def _emit_pairs_for_bucket(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataF
         a = np.empty(0, dtype=np.int64)
         b = np.empty(0, dtype=np.int64)
     # one stats row per bucket rides along (band accounting for the
-    # lineage manifest); callers filter it out by id_a == -1
+    # lineage manifest): id_a == -1 marks it, id_b = -(bucket+2) keeps it
+    # unique so it survives pair dedup; callers filter by id_a == -1
+    bucket_id = int(group["bucket"].iloc[0]) if len(group) else 0
     stats_a = np.array([-1], dtype=np.int64)
     return pd.DataFrame(
         {
             "id_a": np.concatenate([a, stats_a]),
-            "id_b": np.concatenate([b, np.array([-1], dtype=np.int64)]),
+            "id_b": np.concatenate([b, np.array([-(bucket_id + 2)], dtype=np.int64)]),
             "dropped_bands": np.concatenate(
                 [np.zeros(len(a), np.int32), np.array([n_dropped_bands], np.int32)]
             ),
@@ -212,17 +214,17 @@ def _emit_pairs_for_bucket(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataF
 def candidate_pairs(
     features: "ray.data.Dataset",
     cfg: BlockingConfig,
-    stats_out: dict | None = None,
+    keep_stats: bool = False,
 ) -> "ray.data.Dataset":
     """features -> globally-unique candidate pairs (id_a < id_b).
 
-    When ``stats_out`` is given, the pre-dedup grouped output is
-    materialized once and the per-bucket ``__stats`` rows are summed into
-    it (``dropped_bands`` / ``salted_bands``) — the no-silent-caps
-    accounting for stopband drops.  The materialization is not extra
-    work for the flagship: the stage boundary right after would
-    materialize anyway, and dedup then reads the cached blocks instead
-    of re-running the band shuffle."""
+    With ``keep_stats=True`` the per-bucket band-accounting rows
+    (``id_a == -1``, unique ``id_b`` per bucket) flow THROUGH dedup and
+    come out in the result — no extra materialization barrier; the
+    caller extracts them from the (checkpointed) stage output with
+    :func:`extract_band_stats` and filters real pairs with
+    :func:`strip_band_stats`.  The no-silent-caps accounting for
+    stopband drops and salting."""
     bands = features.map_batches(
         lambda b: expand_bands_batch(b, cfg), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -230,18 +232,8 @@ def candidate_pairs(
         lambda g: _emit_pairs_for_bucket(g, cfg),
         batch_format="pandas",
     )
-    if stats_out is not None:
-        from ray.data.aggregate import Sum
-
-        grouped = grouped.materialize()
-        agg = grouped.map_batches(
-            lambda t: t.filter(pa.compute.equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
-                ["dropped_bands", "salted_bands"]
-            ),
-            batch_format="pyarrow",
-        ).aggregate(Sum("dropped_bands"), Sum("salted_bands"))
-        stats_out["dropped_bands"] = int(agg.get("sum(dropped_bands)") or 0)
-        stats_out["salted_bands"] = int(agg.get("sum(salted_bands)") or 0)
+    if keep_stats:
+        return dedup_pairs(grouped, cfg.num_buckets, carry_stats=True)
     pairs = grouped.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
             ["id_a", "id_b"]
@@ -251,27 +243,65 @@ def candidate_pairs(
     return dedup_pairs(pairs, cfg.num_buckets)
 
 
-def dedup_pairs(pairs: "ray.data.Dataset", num_buckets: int) -> "ray.data.Dataset":
+def extract_band_stats(pairs_with_stats: "ray.data.Dataset") -> dict:
+    """Sum the band-accounting rows out of a ``keep_stats=True`` pair set
+    (cheap: a filter map + tiny aggregate over the materialized stage)."""
+    from ray.data.aggregate import Sum
+
+    agg = pairs_with_stats.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
+            ["dropped_bands", "salted_bands"]
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("dropped_bands"), Sum("salted_bands"))
+    return {
+        "dropped_bands": int(agg.get("sum(dropped_bands)") or 0),
+        "salted_bands": int(agg.get("sum(salted_bands)") or 0),
+    }
+
+
+def strip_band_stats(pairs_with_stats: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Real pairs only (id_a, id_b) from a ``keep_stats=True`` pair set."""
+    return pairs_with_stats.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
+            ["id_a", "id_b"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_pairs(
+    pairs: "ray.data.Dataset", num_buckets: int, carry_stats: bool = False
+) -> "ray.data.Dataset":
     """Global pair dedup (multi-band duplicates; D2 analogue —
     ``OnlyOnceDataset``, reference ``only_once_dataset.py:8-23`` — made
-    deterministic under a shuffle: bucket by pair hash, unique within)."""
+    deterministic under a shuffle: bucket by pair hash, unique within).
+
+    ``carry_stats=True`` keeps the ``dropped_bands`` / ``salted_bands``
+    columns through the shuffle (stats rows have unique keys, so they
+    all survive; real pairs carry zeros — 8 B/row of extra width)."""
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         from ..functions.hashing import hash_pairs64
 
+        if not carry_stats:
+            batch = batch.select(["id_a", "id_b"])
         h = hash_pairs64(batch["id_a"].to_numpy(), batch["id_b"].to_numpy())
         return batch.append_column(
             "bucket", pa.array((h % U64(num_buckets)).astype(np.int32))
         )
 
     def uniq(group: pd.DataFrame) -> pd.DataFrame:
-        df = group[["id_a", "id_b"]]
-        arr = df.to_numpy()
-        order = np.lexsort((arr[:, 1], arr[:, 0]))
-        arr = arr[order]
-        keep = np.ones(len(arr), dtype=bool)
-        keep[1:] = (np.diff(arr[:, 0]) != 0) | (np.diff(arr[:, 1]) != 0)
-        return pd.DataFrame({"id_a": arr[keep, 0], "id_b": arr[keep, 1]})
+        ids = group[["id_a", "id_b"]].to_numpy()
+        order = np.lexsort((ids[:, 1], ids[:, 0]))
+        ids = ids[order]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = (np.diff(ids[:, 0]) != 0) | (np.diff(ids[:, 1]) != 0)
+        out = {"id_a": ids[keep, 0], "id_b": ids[keep, 1]}
+        if carry_stats:
+            for c in ("dropped_bands", "salted_bands"):
+                out[c] = group[c].to_numpy()[order][keep]
+        return pd.DataFrame(out)
 
     return (
         pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)

@@ -55,7 +55,12 @@ class TestRegistry:
         feats = run_stages(
             ["ingest", "featurize"], I.read_corpus(str(tiny_corpus / "files")), cfg
         )
-        stats: dict = {}
-        pairs = B.candidate_pairs(feats, cfg.blocking, stats_out=stats)
+        pairs_full = B.candidate_pairs(feats, cfg.blocking, keep_stats=True).materialize()
+        stats = B.extract_band_stats(pairs_full)
+        pairs = B.strip_band_stats(pairs_full)
         assert pairs.count() > 0
         assert stats["dropped_bands"] >= 0 and stats["salted_bands"] >= 0
+        # plain path: no stats rows in the output
+        plain = B.candidate_pairs(feats, cfg.blocking).to_pandas()
+        assert (plain.id_a >= 0).all()
+        assert len(plain) == pairs.count()
