@@ -15,7 +15,9 @@ from collections.abc import Callable
 from typing import Any
 
 from . import annops, corpusops, relational, sourceops, streamops, textops
-from .functions.textstats import _MARKER_RES, _SCRIPT_RES, TOKEN_RE
+from .functions.textstats import _MARKER_RES, _SCRIPT_RES, BPE_RE, TOKEN_RE
+
+_BPE_SQL = BPE_RE.replace("'", "''")
 
 _CORPUS_SF001 = "/tmp/mel_ray_corpus/sf0.01"
 _SOURCES_SF001 = "/tmp/mel_ray_sources/sf0.01"
@@ -56,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / dedup over documents ---
         "doc_exact_dedup": textops.doc_exact_dedup,
         "doc_token_count": textops.doc_token_count,
+        "doc_bpe_token_count": textops.doc_bpe_token_count,
         "doc_quality": textops.doc_quality,
         "doc_lang_id": textops.doc_lang_id,
         "doc_md5_fingerprint": textops.doc_md5_fingerprint,
@@ -309,6 +312,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": f"""
             SELECT doc_id,
                    length(regexp_extract_all(text, '{tok}')) AS n_tokens
+            FROM documents
+        """,
+        "doc_bpe_token_count": f"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": f"""

@@ -17,6 +17,17 @@ from .shingles import char_kgram_hashes
 
 TOKEN_RE = r"[A-Za-z0-9]+"
 
+# BPE-ish pre-tokenizer: GPT-2-style word/number/punct/space runs with
+# contraction splitting, restricted to RE2 (no lookahead) so Arrow and
+# DuckDB count identically.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Number of BPE-style pre-tokens per row (the tokenizer-budget
+    estimate a training-data pipeline bins documents by)."""
+    return pc.count_substring_regex(text, BPE_RE)
+
 # Unicode-script heuristics for language ID (RE2 classes, identical in
 # DuckDB's regexp functions and Arrow's).
 _SCRIPT_RES = [

@@ -59,6 +59,22 @@ def doc_token_count(sf_dir: str):
     )
 
 
+def doc_bpe_token_count(sf_dir: str):
+    """BPE-ish pre-token count per doc (M6/M7 tokenizer-stage analogue:
+    the per-document token budget a training pipeline bins by; both
+    engines run the same RE2 pattern)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(TS.bpe_token_count(t["text"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def doc_quality(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
 
