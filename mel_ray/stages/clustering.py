@@ -212,17 +212,18 @@ def assign_clusters(
     if n <= broadcast_limit_rows:
         import ray as _ray
 
-        parts = [_ray.get(r) for r in component_labels.to_arrow_refs()]
-        t = pa.concat_tables(parts).combine_chunks() if parts else None
-        if t is None or len(t) == 0:
-            ids = np.empty(0, dtype=np.int64)
-            cids = np.empty(0, dtype=np.int64)
-        else:
+        def _assemble_labels(*parts):
+            # (worker task) label blocks -> sorted lookup arrays; the
+            # driver only ever holds the returned ObjectRef
+            if not parts:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+            t = pa.concat_tables(list(parts)).combine_chunks()
             ids = t["record_id"].to_numpy()
             cids = t["cluster_id"].to_numpy()
             order = np.argsort(ids, kind="stable")
-            ids, cids = ids[order], cids[order]
-        ref = _ray.put((ids, cids))
+            return ids[order], cids[order]
+
+        ref = _ray.remote(_assemble_labels).remote(*component_labels.to_arrow_refs())
 
         class Assign:
             def __init__(self, ref):
