@@ -138,8 +138,9 @@ def run_scaling() -> dict:
     # fresh processes each, keeping the best — hypervisor steal on this
     # host varies on minute scales, so both levels must sample the same
     # noise windows
+    reps = int(os.environ.get("GRAFT_SCALE_REPS", "3"))
     runs_lo, runs_hi = [], []
-    for _ in range(2):
+    for _ in range(reps):
         runs_lo.append(one(lo_cpus))
         runs_hi.append(one(hi_cpus))
     lo = min(runs_lo, key=lambda r: r["value"])
@@ -186,9 +187,12 @@ def _hardware_speedup(lo: int, hi: int) -> float:
     def tput(n: int) -> float:
         with mp.get_context("spawn").Pool(n) as p:
             p.map(_burn, range(n))  # warm (imports, allocators)
-            t0 = time.time()
-            p.map(_burn, range(n * 2))
-            return (n * 2) / (time.time() - t0)
+            best = 0.0
+            for _ in range(3):  # the CEILING = the machine's best window
+                t0 = time.time()
+                p.map(_burn, range(n * 2))
+                best = max(best, (n * 2) / (time.time() - t0))
+            return best
 
     return round(tput(hi) / max(tput(lo), 1e-9), 3)
 
