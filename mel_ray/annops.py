@@ -121,44 +121,8 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
     )
 
 
-def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4, probes: int = 2):
-    """LSH-bucketed approximate top-k: random-hyperplane sign buckets +
-    multi-probe (flip one plane).
-
-    The scale path, now actually partitioned: the index Dataset carries a
-    ``bucket`` column and the search runs inside
-    ``groupby(bucket).map_groups`` — no worker ever holds more than its
-    bucket (the ScaNN-partitioned-search semantics,
-    scann_searcher.py:6-49).  Only the QUERY vectors (the genuinely
-    small side) are broadcast; per-bucket top-k candidates are merged by
-    a final ``groupby(query_id)`` top-k.  Recall vs the brute-force
-    oracle is asserted in tests."""
-    from .stages.blocking import binary_matrix
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        unit_t = _unit_features_batch(t)
-        unit = unit_t["unit_mat"]
-        rng = np.random.RandomState(1234)
-        planes = rng.randn(unit.shape[1], num_planes)
-        codes = (unit @ planes > 0).astype(np.uint32)
-        bucket = np.zeros(len(unit), dtype=np.int32)
-        for b in range(num_planes):
-            bucket |= (codes[:, b] << b).astype(np.int32)
-        from .stages.blocking import _binary_rows
-
-        return pa.table(
-            {
-                "vec_id": unit_t["vec_id"],
-                "bucket": pa.array(bucket),
-                "unit": _binary_rows(np.ascontiguousarray(unit)),
-            }
-        )
-
-    index = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(bucketize, batch_format="pyarrow")
-
-    # query side: the small side only — first n vectors, with their probe set
+def _query_vectors(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """first-n query ids + unit vectors (the genuinely small side)."""
     q_tbl = (
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .sort("vec_id")
@@ -168,22 +132,25 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4,
     q_ids = q_tbl.vec_id.to_numpy(dtype=np.int64)
     q_mat = np.stack(q_tbl.embedding.to_numpy()).astype(np.float64)
     q_unit = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(1234)
-    planes = rng.randn(q_unit.shape[1], num_planes)
-    codes = (q_unit @ planes > 0).astype(np.uint32)
-    q_bucket = np.zeros(len(q_ids), dtype=np.int64)
-    for b in range(num_planes):
-        q_bucket |= (codes[:, b].astype(np.int64) << b)
-    probe_map: dict[int, list[int]] = {}
-    for qi, b in enumerate(q_bucket):
-        for pb in [int(b)] + [int(b) ^ (1 << f) for f in range(num_planes)]:
-            probe_map.setdefault(pb, []).append(qi)
-    q_ref = ray.put((q_ids, q_unit, {b: np.asarray(v) for b, v in probe_map.items()}))
+    return q_ids, q_unit
 
-    def search_bucket(group: pa.Table) -> pa.Table:
-        ids_q, unit_q, probes_by_bucket = ray.get(q_ref)
-        bucket = int(group["bucket"][0].as_py())
-        probing = probes_by_bucket.get(bucket)
+
+def _partitioned_search(
+    index: "ray.data.Dataset", q_ref, k: int
+) -> "ray.data.Dataset":
+    """Shared partitioned-ANN core: the index Dataset carries a ``cell``
+    column; search runs inside ``groupby(cell).map_groups`` so no worker
+    ever holds more than its partition (ScaNN-partitioned-search
+    semantics, scann_searcher.py:6-49).  ``q_ref`` broadcasts
+    (query_ids, query_units, {cell -> query indices probing it}); the
+    per-cell top-k candidates are merged by a final ``groupby(query_id)``
+    top-k (equal to top-k over the union of probed cells)."""
+    from .stages.blocking import binary_matrix
+
+    def search_cell(group: pa.Table) -> pa.Table:
+        ids_q, unit_q, probes_by_cell = ray.get(q_ref)
+        cell = int(group["cell"][0].as_py())
+        probing = probes_by_cell.get(cell)
         empty = pa.table(
             {
                 "query_id": pa.array([], pa.int64()),
@@ -217,7 +184,7 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4,
             }
         )
 
-    cands = index.groupby("bucket").map_groups(search_bucket, batch_format="pyarrow")
+    cands = index.groupby("cell").map_groups(search_cell, batch_format="pyarrow")
 
     def merge_topk(group: pa.Table) -> pa.Table:
         s = group["cos_sim"].to_numpy()
@@ -232,6 +199,90 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4,
         )
 
     return cands.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
+
+
+def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4, probes: int = 2):
+    """LSH-bucketed approximate top-k: random-hyperplane sign buckets +
+    multi-probe (flip one plane), partitioned via the shared
+    ``groupby(cell)`` search core.  Only the query vectors are
+    broadcast; recall vs the brute-force oracle is asserted in tests."""
+    from .stages.blocking import _binary_rows
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        unit_t = _unit_features_batch(t)
+        unit = unit_t["unit_mat"]
+        rng = np.random.RandomState(1234)
+        planes = rng.randn(unit.shape[1], num_planes)
+        codes = (unit @ planes > 0).astype(np.uint32)
+        cell = np.zeros(len(unit), dtype=np.int32)
+        for b in range(num_planes):
+            cell |= (codes[:, b] << b).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": unit_t["vec_id"],
+                "cell": pa.array(cell),
+                "unit": _binary_rows(np.ascontiguousarray(unit)),
+            }
+        )
+
+    index = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(bucketize, batch_format="pyarrow")
+
+    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+    rng = np.random.RandomState(1234)
+    planes = rng.randn(q_unit.shape[1], num_planes)
+    codes = (q_unit @ planes > 0).astype(np.uint32)
+    q_cell = np.zeros(len(q_ids), dtype=np.int64)
+    for b in range(num_planes):
+        q_cell |= (codes[:, b].astype(np.int64) << b)
+    probe_map: dict[int, list[int]] = {}
+    for qi, b in enumerate(q_cell):
+        for pb in [int(b)] + [int(b) ^ (1 << f) for f in range(num_planes)]:
+            probe_map.setdefault(pb, []).append(qi)
+    q_ref = ray.put((q_ids, q_unit, {b: np.asarray(v) for b, v in probe_map.items()}))
+    return _partitioned_search(index, q_ref, k)
+
+
+def knn_ivf(sf_dir: str, k: int = 5, num_queries: int = 20, num_cells: int = 16, nprobe: int = 4):
+    """IVF-partitioned approximate top-k (the FAISS-IVF / ScaNN-tree
+    analogue, T5 searcher family): a deterministic coarse quantizer — the
+    first ``num_cells`` vectors as centroids — assigns every vector to
+    its nearest-centroid cell with one broadcast matmul; each query
+    probes its ``nprobe`` nearest cells via the shared ``groupby(cell)``
+    search core.  Data-adaptive cells follow density (unlike LSH's
+    oblivious hyperplanes), the classic recall-per-probe win."""
+    from .stages.blocking import _binary_rows
+
+    c_ids, centroids = _query_vectors(sf_dir, num_cells)  # deterministic seeds
+    c_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        unit_t = _unit_features_batch(t)
+        unit = unit_t["unit_mat"]
+        cell = np.argmax(unit @ cents.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                "vec_id": unit_t["vec_id"],
+                "cell": pa.array(cell),
+                "unit": _binary_rows(np.ascontiguousarray(unit)),
+            }
+        )
+
+    index = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow")
+
+    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+    sims = q_unit @ centroids.T  # (nq, C)
+    probe_cells = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    probe_map: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for c in probe_cells[qi]:
+            probe_map.setdefault(int(c), []).append(qi)
+    q_ref = ray.put((q_ids, q_unit, {b: np.asarray(v) for b, v in probe_map.items()}))
+    return _partitioned_search(index, q_ref, k)
 
 
 def _unit_features_batch(t: pa.Table) -> dict:

@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_lsh": annops.knn_lsh,
+        "knn_ivf": annops.knn_ivf,
         "emb_near_dupes": annops.emb_near_dupes,
         "emb_centroids": annops.emb_centroids,
         # --- the record-linkage flagship over the input_hint corpus ---

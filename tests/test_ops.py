@@ -32,6 +32,21 @@ class TestAnnOps:
         scan_fraction = 5 / 16  # probed buckets / total buckets
         assert np.mean(recalls) >= 0.38 > scan_fraction, np.mean(recalls)
 
+    def test_knn_ivf_recall_vs_bruteforce(self):
+        """IVF cells are data-adaptive; with nprobe=4 of 16 cells the
+        search scans ~1/4 of the index and must beat that fraction."""
+        from mel_ray.annops import knn_bruteforce, knn_ivf
+
+        exact = knn_bruteforce(SF).to_pandas()
+        approx = knn_ivf(SF).to_pandas()
+        exact_sets = exact.groupby("query_id").neighbor_id.apply(set)
+        approx_sets = approx.groupby("query_id").neighbor_id.apply(set)
+        recalls = []
+        for q, want in exact_sets.items():
+            got = approx_sets.get(q, set())
+            recalls.append(len(got & want) / len(want))
+        assert np.mean(recalls) >= 0.35, np.mean(recalls)
+
     def test_emb_near_dupes_match_naive(self):
         import pyarrow.parquet as pq
 
