@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": textops.doc_simhash,
         "doc_minhash_lsh_pairs": textops.doc_minhash_lsh_pairs,
         "doc_length_histogram": textops.doc_length_histogram,
+        "doc_quality_filter": textops.doc_quality_filter,
+        "doc_dedup_keep": textops.doc_dedup_keep,
         # --- similarity search over embeddings ---
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
@@ -343,6 +345,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": """
             SELECT (n_chars // 100) * 100 AS len_bucket, count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "doc_quality_filter": f"""
+            SELECT doc_id, n_words,
+                   round(alpha, 4) AS alpha_ratio,
+                   round(digit, 4) AS digit_ratio
+            FROM (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '{tok}')) AS n_words,
+                     length(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                       / greatest(length(text), 1) AS alpha,
+                     length(regexp_extract_all(text, '[0-9]')) * 1.0
+                       / greatest(length(text), 1) AS digit
+              FROM documents)
+            WHERE n_words >= 5 AND alpha >= 0.5 AND digit <= 0.3
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -241,6 +241,99 @@ def doc_global_shuffle(sf_dir: str):
     return ds.random_shuffle(seed=42)
 
 
+def doc_quality_filter(
+    sf_dir: str, min_words: int = 5, min_alpha: float = 0.5, max_digit: float = 0.3
+):
+    """C4-style quality gate: keep documents passing word-count and
+    character-class-ratio thresholds (the cleaning pass an LLM data
+    pipeline runs before training).  Threshold comparisons are on the
+    UNROUNDED ratios — both engines divide the same integers, so the
+    boundary is bit-identical; displayed ratios use oracle rounding."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(t["text"])
+        n_words = pc.count_substring_regex(t["text"], TS.TOKEN_RE)
+        n_alpha = pc.count_substring_regex(t["text"], r"[A-Za-z]")
+        n_digit = pc.count_substring_regex(t["text"], r"[0-9]")
+        denom = pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, n_chars.type)), pa.float64())
+        alpha = pc.divide(pc.cast(n_alpha, pa.float64()), denom)
+        digit = pc.divide(pc.cast(n_digit, pa.float64()), denom)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, pa.scalar(min_words, n_words.type)),
+                pc.greater_equal(alpha, pa.scalar(min_alpha)),
+            ),
+            pc.less_equal(digit, pa.scalar(max_digit)),
+        )
+        rnd = lambda x: pc.round(x, ndigits=4, round_mode="half_towards_infinity")
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pc.cast(n_words, pa.int64()),
+                "alpha_ratio": rnd(alpha),
+                "digit_ratio": rnd(digit),
+            }
+        )
+        return out.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def doc_dedup_keep(sf_dir: str, threshold: float = 0.7):
+    """End-to-end near-dup REMOVAL: MinHash-LSH pairs at est-Jaccard >=
+    threshold -> connected components -> keep the min doc_id of each
+    component (plus all untouched docs) — the T3 "first wins" rule made
+    deterministic, composed from the flagship's own blocking +
+    clustering stages.  Returns the surviving (doc_id, text_sha) set an
+    LLM pipeline would train on."""
+    from .config import ClusteringConfig
+    from .stages.clustering import connected_components
+    from .stages.scoring import JOIN_AGG_ARGS
+    from .util import auto_join_partitions
+
+    pairs = doc_minhash_lsh_pairs(sf_dir, threshold=threshold)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t["doc_id_a"], "v": t["doc_id_b"]}),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice inside connected_components (count + rounds)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        from .functions.hashing import sha256_hex
+
+        return pa.table({"doc_id": t["doc_id"], "text_sha": sha256_hex(t["text"])})
+
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(hash_batch, batch_format="pyarrow")
+    if edges.count() == 0:  # no near-dupes anywhere: everything survives
+        return hashed
+    comp = connected_components(edges, ClusteringConfig())
+
+    # non-representative members (record_id != component min) are removed
+    def to_removed(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.not_equal(t["record_id"], t["cluster_id"]))
+        return pa.table(
+            {
+                "doc_id": kept["record_id"],
+                "is_removed": pa.array(np.ones(len(kept), dtype=bool)),
+            }
+        )
+
+    removed = comp.map_batches(to_removed, batch_format="pyarrow")
+    # anti-join by left-outer + null filter: scale-honest (the removed
+    # side can be a large fraction of the corpus, so no broadcast)
+    joined = hashed.join(
+        removed,
+        join_type="left_outer",
+        num_partitions=auto_join_partitions(None),
+        on=("doc_id",),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["is_removed"])).select(["doc_id", "text_sha"]),
+        batch_format="pyarrow",
+    )
+
+
 def doc_length_histogram(sf_dir: str):
     """document length histogram in 100-char buckets (quality telemetry,
     StatisticsLogger analogue A9/T9)."""

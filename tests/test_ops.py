@@ -120,6 +120,33 @@ class TestDedupOps:
         assert (got.jaccard >= 0.3).all()
         assert (got.doc_id_a < got.doc_id_b).all()
 
+    def test_dedup_keep_matches_naive_union_find(self):
+        """doc_dedup_keep = survivors of per-component keep-min over the
+        LSH pair graph; oracle = plain-Python union-find on the same
+        pairs (SURVEY §5: naive implementation validates distributed)."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_dedup_keep, doc_minhash_lsh_pairs
+
+        pairs = doc_minhash_lsh_pairs(SF, threshold=0.7).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pandas()
+        parent = {int(d): int(d) for d in docs.doc_id}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in pairs.itertuples():
+            a, b = find(int(r.doc_id_a)), find(int(r.doc_id_b))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        keep = {d for d in parent if find(d) == d}
+        got = doc_dedup_keep(SF).to_pandas()
+        assert set(got.doc_id) == keep
+        assert got.doc_id.is_unique
+
     def test_empty_docs_never_pair(self):
         """Shingle-less rows (whitespace/punct-only) share the all-sentinel
         signature; they must NOT verify as near-dupes of each other
