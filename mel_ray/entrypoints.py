@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": textops.doc_simhash_pairs,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
         "media_features": _media_features,
+        "media_resize": _media_resize,
+        "media_frame_sample": _media_frame_sample,
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
@@ -104,6 +106,48 @@ def _media_features(sf_dir: str):
     return out.map_batches(
         lambda t: t.select(
             ["media_id", "kind", "width", "height", "sample_rate", "payload_len"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _media_resize(sf_dir: str):
+    """multimodal resize stage (codec stubbed; schema/metadata real)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.multimodal import resize_media, synth_media_dataset
+
+    out = resize_media(synth_media_dataset(64))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "width": t["width"],
+                "height": t["height"],
+                "payload_len": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _media_frame_sample(sf_dir: str):
+    """multimodal frame-sampling stage (demux stubbed; flat_map real)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.multimodal import sample_frames, synth_media_dataset
+
+    out = sample_frames(synth_media_dataset(64))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_index": pc.cast(t["frame_index"], pa.int64()),
+                "frame_len": pc.cast(pc.binary_length(t["frame"]), pa.int64()),
+            }
         ),
         batch_format="pyarrow",
     )

@@ -108,6 +108,101 @@ class MediaFeatureExtractor:
         )
 
 
+class MediaResizer:
+    """Actor-pool resize stage (images): payload -> resized payload +
+    updated width/height metadata.  The codec (PIL) is stubbed exactly
+    like the extractor: ``decoder="real"`` raises at the library call;
+    the fake path deterministically stride-subsamples the byte payload
+    to the target pixel budget so schema/metadata plumbing is real."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
+        self.tw, self.th = target_w, target_h
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "real image resize requires PIL, not present in this "
+                "environment; plug Image.open(...).resize(...) here"
+            )
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        budget = self.tw * self.th
+        out = []
+        for i in range(len(batch)):  # per-media codec call is per-row
+            raw = np.frombuffer(payloads[i].as_buffer(), dtype=np.uint8)
+            stride = max(1, len(raw) // budget)
+            out.append(raw[::stride][:budget].tobytes())
+        n = len(batch)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(out, pa.large_binary()),
+                "width": pa.array(np.full(n, self.tw, dtype=np.int32)),
+                "height": pa.array(np.full(n, self.th, dtype=np.int32)),
+                "sample_rate": batch["sample_rate"],
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video): payload -> one row per
+    sampled frame (flat_map row expansion, M4 shape).  The demuxer
+    (ffmpeg) is stubbed: the fake path treats the payload as
+    ``n_frames`` equal chunks and emits every ``step``-th chunk."""
+
+    def __init__(self, n_frames: int = 16, step: int = 4, decoder: str = "fake"):
+        self.n_frames, self.step = n_frames, step
+        self.decoder = decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "real frame sampling requires ffmpeg; plug the demux call here"
+            )
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ids, kinds, frames, fidx = [], [], [], []
+        for i in range(len(batch)):
+            raw = np.frombuffer(payloads[i].as_buffer(), dtype=np.uint8)
+            clen = max(1, len(raw) // self.n_frames)
+            for f in range(0, self.n_frames, self.step):
+                chunk = raw[f * clen : (f + 1) * clen]
+                if len(chunk) == 0:
+                    break
+                ids.append(batch["media_id"][i].as_py())
+                kinds.append(batch["kind"][i].as_py())
+                frames.append(chunk.tobytes())
+                fidx.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def resize_media(media: "ray.data.Dataset", target_w: int = 64, target_h: int = 64,
+                 batch_size: int = 64, concurrency: int = 2) -> "ray.data.Dataset":
+    return media.map_batches(
+        MediaResizer, fn_constructor_args=(target_w, target_h),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency, num_cpus=0.5,
+    )
+
+
+def sample_frames(media: "ray.data.Dataset", n_frames: int = 16, step: int = 4,
+                  batch_size: int = 64, concurrency: int = 2) -> "ray.data.Dataset":
+    return media.map_batches(
+        FrameSampler, fn_constructor_args=(n_frames, step),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency, num_cpus=0.5,
+    )
+
+
 def extract_media_features(
     media: "ray.data.Dataset",
     feature_dim: int = 64,
@@ -121,7 +216,9 @@ def extract_media_features(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        num_cpus=1,
+        # fractional CPUs: chained media pools must not reserve the whole
+        # node (the round-1 actor-pool starvation lesson)
+        num_cpus=0.5,
     )
 
 

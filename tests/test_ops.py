@@ -235,6 +235,38 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             ex._decode_one(memoryview(b"xxxx"), "image")
 
+    def test_resize_then_extract_composes(self):
+        """resize -> feature-extract chains as Dataset stages; resized
+        metadata and payload budget are respected."""
+        from mel_ray.stages.multimodal import (
+            extract_media_features,
+            resize_media,
+            synth_media_dataset,
+        )
+
+        resized = resize_media(synth_media_dataset(16), target_w=8, target_h=8)
+        rows = resized.take_all()
+        for r in rows:
+            assert r["width"] == 8 and r["height"] == 8
+            assert len(r["payload"]) <= 64
+        out = extract_media_features(resized, feature_dim=8).take_all()
+        assert len(out) == 16
+
+    def test_frame_sampler_expansion(self):
+        """flat_map shape: every video/image payload yields
+        n_frames/step frames of ~equal size, deterministic."""
+        from mel_ray.stages.multimodal import sample_frames, synth_media_dataset
+
+        out = sample_frames(synth_media_dataset(12), n_frames=8, step=2).take_all()
+        by_media: dict = {}
+        for r in out:
+            by_media.setdefault(r["media_id"], []).append(r)
+        assert len(by_media) == 12
+        for rows in by_media.values():
+            assert [r["frame_index"] for r in rows] == [0, 2, 4, 6]
+            sizes = {len(r["frame"]) for r in rows}
+            assert len(sizes) == 1  # equal chunking
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestTextStats:
