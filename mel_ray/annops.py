@@ -367,6 +367,99 @@ def emb_near_dupes(sf_dir: str, threshold: float = 0.4):
     )
 
 
+def emb_near_dupes_lsh(
+    sf_dir: str,
+    threshold: float = 0.4,
+    num_planes: int = 3,
+    num_bands: int = 8,
+):
+    """Approximate-recall embedding near-dup pairs: the 100-TB path for
+    :func:`emb_near_dupes`.  ``num_bands`` independent random-hyperplane
+    codes of ``num_planes`` bits each band the vectors (a pair is a
+    candidate if ANY band matches — the MinHash-banding composition over
+    sign hashes); candidates flow through the flagship's salted pair
+    emitter + dedup, then exact cosine verification arrives BY JOIN of
+    the unit vectors — soundness is exact, recall is the documented
+    banding probability (~(1-(1-p^r)^b)).  No all-pairs matmul, no
+    driver state."""
+    from .functions.hashing import U64, splitmix64
+    from .stages.blocking import (
+        _binary_rows,
+        _emit_pairs_for_bucket,
+        binary_matrix,
+        dedup_pairs,
+    )
+    from .stages.scoring import JOIN_AGG_ARGS, _rename
+    from .util import auto_join_partitions
+
+    num_buckets = 64
+
+    units = _unit_features(sf_dir).materialize()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        unit = binary_matrix(t["unit"], np.float64)
+        ids = t["vec_id"].to_numpy()
+        rng = np.random.RandomState(97)
+        keys = []
+        for band in range(num_bands):
+            planes = rng.randn(unit.shape[1], num_planes)
+            codes = (unit @ planes > 0).astype(np.uint64)
+            cell = np.zeros(len(ids), dtype=np.uint64)
+            for b in range(num_planes):
+                cell |= codes[:, b] << np.uint64(b)
+            with np.errstate(over="ignore"):
+                keys.append(splitmix64(cell ^ splitmix64(np.full_like(cell, band + 11))))
+        key = np.concatenate(keys)
+        rid = np.tile(ids, num_bands)
+        return pa.table(
+            {
+                "record_id": pa.array(rid),
+                "band_hash": pa.array(key.view(np.int64)),
+                "bucket": pa.array((key % U64(num_buckets)).astype(np.int32)),
+            }
+        )
+
+    from .config import BlockingConfig
+
+    cfg = BlockingConfig(num_buckets=num_buckets)
+
+    cands = (
+        units.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pandas")
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))
+            ).select(["id_a", "id_b"]),
+            batch_format="pyarrow",
+        )
+    )
+    cands = dedup_pairs(cands, num_buckets)
+
+    nparts = auto_join_partitions(None, units.count())
+    ua = _rename(units, {"vec_id": "id_a", "unit": "unit_a"}, ["vec_id", "unit"])
+    ub = _rename(units, {"vec_id": "id_b", "unit": "unit_b"}, ["vec_id", "unit"])
+    j = cands.join(ua, join_type="inner", num_partitions=nparts, on=("id_a",),
+                   aggregator_ray_remote_args=JOIN_AGG_ARGS)
+    j = j.join(ub, join_type="inner", num_partitions=nparts, on=("id_b",),
+               aggregator_ray_remote_args=JOIN_AGG_ARGS)
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = binary_matrix(t["unit_a"], np.float64)
+        b = binary_matrix(t["unit_b"], np.float64)
+        cos = np.einsum("ij,ij->i", a, b)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_id_a": pa.array(t["id_a"].to_numpy()[keep]),
+                "vec_id_b": pa.array(t["id_b"].to_numpy()[keep]),
+                "cos_sim": pa.array(round_half_away(cos[keep], 4)),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def emb_centroids(sf_dir: str):
     """per-label mean embedding, exploded to (label, dim_i, avg_val) —
     the grouped vector reduce of A6 ``combine_embs_by_qid``

@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
         "emb_near_dupes": annops.emb_near_dupes,
+        "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "emb_centroids": annops.emb_centroids,
         # --- the record-linkage flagship over the input_hint corpus ---
         "corpus_ingest": corpusops.corpus_ingest,

@@ -32,6 +32,19 @@ class TestAnnOps:
         scan_fraction = 5 / 16  # probed buckets / total buckets
         assert np.mean(recalls) >= 0.38 > scan_fraction, np.mean(recalls)
 
+    def test_emb_near_dupes_lsh_sound_and_recalls(self):
+        """The banded scale path: every emitted pair is exactly verified
+        (soundness = exact), and 8 bands x 3 sign-planes recall most of
+        the true cos>=0.4 pairs (measured 0.80 at sf0.01)."""
+        from mel_ray.annops import emb_near_dupes, emb_near_dupes_lsh
+
+        exact = emb_near_dupes(SF).to_pandas()
+        approx = emb_near_dupes_lsh(SF).to_pandas()
+        want = set(zip(exact.vec_id_a, exact.vec_id_b))
+        got = set(zip(approx.vec_id_a, approx.vec_id_b))
+        assert got <= want
+        assert len(got & want) / max(len(want), 1) >= 0.5
+
     def test_knn_ivf_recall_vs_bruteforce(self):
         """IVF cells are data-adaptive; with nprobe=4 of 16 cells the
         search scans ~1/4 of the index and must beat that fraction."""
