@@ -26,9 +26,6 @@ import ray.data
 
 from .util import round_half_away
 
-_DIM_SENTINEL = 0  # unit vectors are float64; width derived per batch
-
-
 def _unit_features(sf_dir: str) -> "ray.data.Dataset":
     """embeddings -> (vec_id, unit) with unit = L2-normalized float64
     vector as a fixed-width binary blob (Acero-joinable, zero-copy
@@ -201,7 +198,7 @@ def _partitioned_search(
     return cands.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 
 
-def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4, probes: int = 2):
+def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4):
     """LSH-bucketed approximate top-k: random-hyperplane sign buckets +
     multi-probe (flip one plane), partitioned via the shared
     ``groupby(cell)`` search core.  Only the query vectors are
