@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": textops.doc_length_histogram,
         "doc_quality_filter": textops.doc_quality_filter,
         "doc_dedup_keep": textops.doc_dedup_keep,
+        "doc_heavy_hitter_words": textops.doc_heavy_hitter_words,
         # --- similarity search over embeddings ---
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
@@ -384,6 +385,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_lang_id": _lang_id_sql(),
+        "doc_heavy_hitter_words": f"""
+            WITH words AS (
+              SELECT unnest(regexp_extract_all(text, '{tok}')) AS word
+              FROM documents)
+            SELECT word, count(*) AS n_occurrences
+            FROM words GROUP BY word
+            HAVING count(*) * 100 > (SELECT count(*) FROM words)
+        """,
         "doc_md5_fingerprint": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents
         """,

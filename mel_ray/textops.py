@@ -334,6 +334,95 @@ def doc_dedup_keep(sf_dir: str, threshold: float = 0.7):
     )
 
 
+def doc_heavy_hitter_words(sf_dir: str, k: int = 100):
+    """Exact corpus-wide heavy hitters (words with count*k > N) via a
+    two-phase distributed sketch — the A9 streaming frequency counter at
+    scale, without ever shuffling the full word stream:
+
+    1. **candidates**: per batch, emit words that are locally heavy
+       (count_b * k > n_b).  Pigeonhole guarantees any globally heavy
+       word is locally heavy in >= 1 batch, so the union (<= k words per
+       batch, collected + broadcast) is a SUPERSET of the answer;
+    2. **verify**: a second pass counts ONLY the candidate words
+       (broadcast ``is_in`` semi-join, partial counts per batch, small
+       groupby) and filters by the exact global threshold.
+
+    The output is therefore exact and SQL-checkable, while the wide
+    word stream (N tokens) never enters a shuffle — only <= k
+    candidates per batch do."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def word_lists(t: pa.Table):
+        return pc.split_pattern_regex(
+            pc.replace_substring_regex(t["text"], pattern=r"[^A-Za-z0-9]+", replacement=" "),
+            pattern=" ",
+        )
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        lists = word_lists(t)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        words = pc.drop_null(flat)
+        words = words.filter(pc.greater(pc.utf8_length(words), 0))
+        vc = words.value_counts()
+        w = vc.field("values")
+        c = vc.field("counts").to_numpy()
+        n_b = int(c.sum())
+        keep = c * k > n_b
+        return pa.table(
+            {
+                "word": w.filter(pa.array(keep)),
+                "n_local": pa.array(c[keep]),
+                "n_batch": pa.array(np.full(int(keep.sum()), n_b, dtype=np.int64)),
+            }
+        )
+
+    phase1 = ds.map_batches(local_counts, batch_format="pyarrow").materialize()
+    # total word count N: its own cheap scalar aggregate
+    counts_only = ds.map_batches(
+        lambda t: pa.table(
+            {"n": pc.cast(pa.array([pc.sum(TS.token_count(t["text"])).as_py() or 0]), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    n_total = int(counts_only.aggregate(Sum("n"))["sum(n)"] or 0)
+    # candidate set: bounded by <= k words per batch — a genuine small side
+    cand = pa.array(sorted(phase1.unique("word")), pa.string())
+    cand_ref = _ray.put(cand)
+
+    def verify_counts(t: pa.Table) -> pa.Table:
+        cand_set = _ray.get(cand_ref)
+        lists = word_lists(t)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.drop_null(lists.flatten())
+        flat = flat.filter(pc.is_in(flat, value_set=cand_set))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "n_occurrences": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(verify_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["n_occurrences"], pa.scalar(k, pa.int64())),
+                       pa.scalar(n_total, pa.int64()))
+        ).select(["word", "n_occurrences"]),
+        batch_format="pyarrow",
+    )
+
+
 def doc_length_histogram(sf_dir: str):
     """document length histogram in 100-char buckets (quality telemetry,
     StatisticsLogger analogue A9/T9)."""

@@ -133,6 +133,24 @@ class TestDedupOps:
         assert (got.jaccard >= 0.3).all()
         assert (got.doc_id_a < got.doc_id_b).all()
 
+    def test_heavy_hitter_words_match_naive_counter(self):
+        """Two-phase sketch output == exact Counter answer (the
+        pigeonhole candidate superset makes the verified result exact)."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_heavy_hitter_words
+
+        k = 100
+        got = doc_heavy_hitter_words(SF, k=k).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+        counts = Counter(w for t in docs.text for w in re.findall(r"[A-Za-z0-9]+", t))
+        n = sum(counts.values())
+        want = {w: c for w, c in counts.items() if c * k > n}
+        assert dict(zip(got.word, got.n_occurrences)) == want
+
     def test_dedup_keep_matches_naive_union_find(self):
         """doc_dedup_keep = survivors of per-component keep-min over the
         LSH pair graph; oracle = plain-Python union-find on the same
