@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": relational.sort_limit,
         "per_key_cap": relational.per_key_cap,
         "distinct_count": relational.distinct_count,
+        "approx_distinct_count": relational.approx_distinct_count,
         "mean_agg": relational.mean_agg,
         "windowed_agg": relational.windowed_agg,
         "alias_table": relational.alias_table,

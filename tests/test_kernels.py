@@ -217,6 +217,25 @@ class TestEmbed:
             assert idx[q][0] == q  # self is nearest
 
 
+def test_hll_sketch_accuracy_and_merge():
+    """HLL estimate within 5% at b=12; merge(a,b) == sketch(a ∪ b)."""
+    from mel_ray.functions.sketch import hash_keys, hll_estimate, hll_merge, hll_partial
+
+    rng = np.random.RandomState(11)
+    keys = rng.randint(0, 10**12, size=50_000)
+    uniq = len(np.unique(keys))
+    h = hash_keys(keys)
+    est = hll_estimate(hll_partial(h, 12))
+    assert abs(est - uniq) / uniq < 0.05, (est, uniq)
+    # mergeability
+    a, b = h[:20_000], h[20_000:]
+    merged = hll_merge(hll_partial(a, 12), hll_partial(b, 12))
+    assert (merged == hll_partial(h, 12)).all()
+    # small-range correction path
+    small = hash_keys(np.arange(10))
+    assert abs(hll_estimate(hll_partial(small, 12)) - 10) < 1
+
+
 def test_content_window_bounds_featurize_work():
     """M8/M9: with content_window set, only the first N codepoints feed
     shingling — a record with a huge tail featurizes identically to its

@@ -133,6 +133,17 @@ class TestDedupOps:
         assert (got.jaccard >= 0.3).all()
         assert (got.doc_id_a < got.doc_id_b).all()
 
+    def test_approx_distinct_within_tolerance(self):
+        """grouped HLL sketch vs the exact distinct counts (<= 5%)."""
+        from mel_ray.relational import approx_distinct_count, distinct_count
+
+        approx = (
+            approx_distinct_count(SF).to_pandas().set_index("o_orderpriority").approx_customers
+        )
+        exact = distinct_count(SF).to_pandas().set_index("o_orderpriority").n_customers
+        for key in exact.index:
+            assert abs(approx[key] - exact[key]) / exact[key] <= 0.05
+
     def test_heavy_hitter_words_match_naive_counter(self):
         """Two-phase sketch output == exact Counter answer (the
         pigeonhole candidate superset makes the verified result exact)."""
