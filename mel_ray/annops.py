@@ -457,6 +457,86 @@ def emb_near_dupes_lsh(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+def knn_quantized(sf_dir: str, k: int = 5, num_queries: int = 20):
+    """Brute-force top-k over an INT8-QUANTIZED index — the ScaNN
+    asymmetric-hashing / quantization analogue (T5,
+    ``scann_searcher.py:6-49``'s ``quantize`` option): each vector is
+    stored as symmetric int8 (scale = max|x|/127), an 8x memory
+    reduction over the float64 index at rest; search decodes tiles on
+    the fly and rescales, queries stay full precision (asymmetric).
+    Recall vs the exact searcher is asserted in tests; at 100 TB this
+    is what lets a shard's index fit a worker's heap."""
+    from .stages.blocking import _binary_rows, binary_matrix
+
+    def quantize(t: pa.Table) -> pa.Table:
+        unit_t = _unit_features_batch(t)
+        unit = unit_t["unit_mat"]
+        scale = np.maximum(np.abs(unit).max(axis=1), 1e-12) / 127.0
+        q = np.clip(np.round(unit / scale[:, None]), -127, 127).astype(np.int8)
+        return pa.table(
+            {
+                "vec_id": unit_t["vec_id"],
+                "scale": pa.array(scale),
+                "qvec": _binary_rows(np.ascontiguousarray(q.view(np.uint8))),
+            }
+        )
+
+    index_refs = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(quantize, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    )
+    queries = _query_ids(sf_dir, num_queries)
+    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+    q_ref = ray.put((q_ids, q_unit))
+
+    class QuantSearcher:
+        def __init__(self, refs, qref):
+            tables = [t for t in ray.get(list(refs)) if len(t)]
+            t = pa.concat_tables(tables).combine_chunks()
+            ids = t["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            self.scale = t["scale"].to_numpy()[order]
+            self.q8 = np.ascontiguousarray(
+                binary_matrix(t["qvec"], np.uint8).view(np.int8)[order]
+            )
+            qi, qu = ray.get(qref)
+            self.q_pos = {int(v): i for i, v in enumerate(qi)}
+            self.q_unit = qu
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_q, out_n, out_s = [], [], []
+            for x in t["query_id"].to_numpy():
+                qv = self.q_unit[self.q_pos[int(x)]]
+                # asymmetric: full-precision query x on-the-fly-decoded tiles
+                sims = np.empty(len(self.ids))
+                tile = 8192
+                for s0 in range(0, len(self.ids), tile):
+                    blk = self.q8[s0 : s0 + tile].astype(np.float64)
+                    blk *= self.scale[s0 : s0 + tile, None]
+                    sims[s0 : s0 + tile] = blk @ qv
+                mask = self.ids != x
+                cand_ids, cand_s = self.ids[mask], sims[mask]
+                top = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([int(x)] * len(top))
+                out_n.extend(cand_ids[top].tolist())
+                out_s.extend(cand_s[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(np.asarray(out_q, np.int64)),
+                    "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
+                    "cos_sim": pa.array(round_half_away(np.asarray(out_s, np.float64), 4)),
+                }
+            )
+
+    return queries.map_batches(
+        QuantSearcher, fn_constructor_args=(index_refs, q_ref),
+        batch_format="pyarrow", concurrency=2, num_cpus=0.5,
+    )
+
+
 def emb_centroids(sf_dir: str):
     """per-label mean embedding, exploded to (label, dim_i, avg_val) —
     the grouped vector reduce of A6 ``combine_embs_by_qid``

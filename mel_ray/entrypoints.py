@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
+        "knn_quantized": annops.knn_quantized,
         "emb_near_dupes": annops.emb_near_dupes,
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "emb_centroids": annops.emb_centroids,

@@ -32,6 +32,24 @@ class TestAnnOps:
         scan_fraction = 5 / 16  # probed buckets / total buckets
         assert np.mean(recalls) >= 0.38 > scan_fraction, np.mean(recalls)
 
+    def test_knn_quantized_high_recall(self):
+        """int8 quantization of 64-dim unit vectors perturbs cosines by
+        ~1e-2 — top-5 recall vs exact must stay near-perfect."""
+        from mel_ray.annops import knn_bruteforce, knn_quantized
+
+        exact = knn_bruteforce(SF).to_pandas()
+        quant = knn_quantized(SF).to_pandas()
+        exact_sets = exact.groupby("query_id").neighbor_id.apply(set)
+        quant_sets = quant.groupby("query_id").neighbor_id.apply(set)
+        recalls = [
+            len(quant_sets.get(q, set()) & want) / len(want)
+            for q, want in exact_sets.items()
+        ]
+        assert np.mean(recalls) >= 0.9, np.mean(recalls)
+        # quantized similarities track exact ones closely
+        merged = exact.merge(quant, on=["query_id", "neighbor_id"], suffixes=("_e", "_q"))
+        assert (abs(merged.cos_sim_e - merged.cos_sim_q) < 0.05).all()
+
     def test_emb_near_dupes_lsh_sound_and_recalls(self):
         """The banded scale path: every emitted pair is exactly verified
         (soundness = exact), and 8 bands x 3 sign-planes recall most of
