@@ -37,26 +37,29 @@ def minhash_signature(
     Processes seeds in chunks of 16 to bound the (M, chunk) temp matrix.
     """
     n_rows = len(row_offsets) - 1
-    out = np.empty((n_rows, num_hashes), dtype=U64)
+    out = np.full((n_rows, num_hashes), _EMPTY_SENTINEL, dtype=U64)
     if n_rows == 0:
         return out
     values = np.asarray(values, dtype=U64)
     starts = np.asarray(row_offsets[:-1], dtype=np.int64)
     empty = row_offsets[1:] == row_offsets[:-1]
-    # reduceat needs strictly valid indices; clamp empty-row starts.
-    red_idx = np.minimum(starts, max(len(values) - 1, 0))
+    # Reduce over NON-EMPTY rows only: their starts are strictly
+    # increasing and the segments tile `values` exactly, so reduceat is
+    # well-formed.  (Clamping empty-row starts instead — the round-1
+    # approach — silently truncated the final shingle out of the last
+    # non-empty row whenever a zero-shingle row trailed the batch;
+    # found by the hypothesis batch-independence property.)
+    ne = ~empty
+    if not ne.any():
+        return out
+    ne_starts = starts[ne]
     all_seeds = seeds_for(num_hashes, seed)
     chunk = 16
     for c0 in range(0, num_hashes, chunk):
         sd = all_seeds[c0 : c0 + chunk]
         with np.errstate(over="ignore"):
             mixed = splitmix64(values[:, None] ^ sd[None, :])  # (M, chunk)
-        if len(values):
-            mins = np.minimum.reduceat(mixed, red_idx, axis=0)
-        else:
-            mins = np.empty((n_rows, len(sd)), dtype=U64)
-        out[:, c0 : c0 + len(sd)] = mins
-    out[empty, :] = _EMPTY_SENTINEL
+        out[ne, c0 : c0 + len(sd)] = np.minimum.reduceat(mixed, ne_starts, axis=0)
     return out
 
 

@@ -101,6 +101,19 @@ class TestSketchProperties:
 
 
 class TestMinhashProperties:
+    def test_trailing_empty_row_regression(self):
+        """Pinned hypothesis counterexample: a zero-shingle row trailing
+        the batch must not truncate the previous row's signature (the
+        round-1 reduceat clamp bug)."""
+        from mel_ray.functions.minhash import minhash_signature
+        from mel_ray.functions.shingles import word_ngram_hashes
+
+        v, off = word_ngram_hashes(pa.array(["0:0:1", ""], pa.string()), n=2)
+        sig = minhash_signature(v, off, 32)
+        v1, off1 = word_ngram_hashes(pa.array(["0:0:1"], pa.string()), n=2)
+        sig1 = minhash_signature(v1, off1, 32)
+        assert (sig[0] == sig1[0]).all()
+
     @given(st.lists(TEXT, min_size=2, max_size=5))
     @settings(max_examples=30, deadline=None)
     def test_signature_deterministic_and_batch_independent(self, texts):
