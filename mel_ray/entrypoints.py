@@ -336,8 +336,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
               SELECT user_id, ts,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
               FROM o)
             SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start
             FROM s GROUP BY 1, 2

@@ -36,12 +36,13 @@ def grouped_agg(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"), n_rows=("l_quantity", "size"))
+        # Arrow-native combiner — no pandas round-trip per batch.
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"), ([], "count_all")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_rows"]
+        )
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -129,18 +130,22 @@ def broadcast_join(sf_dir: str):
     once and probed per batch (the qid-remap broadcast pattern,
     qids_remap.py:35-55) — no shuffle of the big side."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(part.p_partkey, part.p_brand)))
+    lookup_ref = ray.put(
+        (pa.array(part.p_partkey.to_numpy()), pa.array(part.p_brand, pa.string()))
+    )
     ds = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     class Probe:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            # broadcast side fetched once per actor; probe is a vectorized
+            # Arrow hash lookup (pc.index_in + pc.take), no per-row Python
+            self.keys, self.values = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_partkey"].to_numpy()
-            brands = pd.Series(keys).map(self.lookup).to_numpy(dtype=object)
+            idx = pc.index_in(t["l_partkey"], value_set=self.keys)
+            brands = pc.take(self.values, idx)
             rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-            return pa.table({"p_brand": pa.array(brands, pa.string()), "revenue": rev})
+            return pa.table({"p_brand": brands, "revenue": rev})
 
     out = (
         ds.map_batches(Probe, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=2)
@@ -253,8 +258,8 @@ def distinct_count(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_custkey"])
 
     def partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native per-batch distinct (group_by with no aggregates)
+        return t.group_by(["o_orderpriority", "o_custkey"]).aggregate([])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

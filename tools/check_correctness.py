@@ -32,7 +32,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = np.round(df[c].astype(np.float64), 6)
+            # fold -0.0 -> 0.0 so the stringified hash is stable
+            df[c] = np.round(df[c].astype(np.float64), 6) + 0.0
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype(np.int64)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -43,26 +44,24 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Driver-semantics comparison: the driver hashes the stringified
+    sorted frame, so an int64-vs-float64 split ("0" vs "0.0") is a FAIL
+    even when values are numerically identical.  normalize() only widens
+    within a kind (int->int64, float->float64); it never crosses kinds."""
     if sorted(a.columns) != sorted(b.columns):
         return f"schema mismatch: {sorted(a.columns)} vs {sorted(b.columns)}"
     if len(a) != len(b):
         return f"row count: {len(a)} vs {len(b)}"
     a, b = normalize(a), normalize(b)
     for c in a.columns:
-        if pd.api.types.is_float_dtype(a[c]) or pd.api.types.is_float_dtype(b[c]):
-            ok = np.allclose(
-                a[c].astype(float), b[c].astype(float), rtol=1e-6, atol=1e-4, equal_nan=True
-            )
-        else:
-            ok = (a[c].astype(str).values == b[c].astype(str).values).all()
-        if not ok:
-            bad = (
-                np.flatnonzero(a[c].astype(str).values != b[c].astype(str).values)[:3]
-                if not pd.api.types.is_float_dtype(a[c])
-                else np.flatnonzero(
-                    ~np.isclose(a[c].astype(float), b[c].astype(float), rtol=1e-6, atol=1e-4)
-                )[:3]
-            )
+        ka = "O" if a[c].dtype == object else a[c].dtype.kind
+        kb = "O" if b[c].dtype == object else b[c].dtype.kind
+        if ka != kb:
+            return f"dtype mismatch on {c}: {a[c].dtype} vs {b[c].dtype} (driver hashes '0' != '0.0')"
+    for c in a.columns:
+        av, bv = a[c].astype(str).values, b[c].astype(str).values
+        if not (av == bv).all():
+            bad = np.flatnonzero(av != bv)[:3]
             detail = [(int(i), a[c].iloc[i], b[c].iloc[i]) for i in bad]
             return f"column {c} differs, e.g. {detail}"
     return None
