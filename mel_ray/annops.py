@@ -312,6 +312,9 @@ def emb_near_dupes(sf_dir: str, threshold: float = 0.4):
     class BlockPair:
         def __init__(self, refs):
             self.refs = list(refs)
+            # cache holds ONLY the current pair's blocks (evicted between
+            # pairs) so actor memory stays at the documented 2-block bound
+            # instead of converging to the whole matrix over many tasks
             self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
         def _block(self, i: int):
@@ -326,8 +329,11 @@ def emb_near_dupes(sf_dir: str, threshold: float = 0.4):
         def __call__(self, t: pa.Table) -> pa.Table:
             out_a, out_b, out_s = [], [], []
             for i, j in zip(t["bi"].to_numpy(), t["bj"].to_numpy()):
-                ids_i, unit_i = self._block(int(i))
-                ids_j, unit_j = self._block(int(j))
+                i, j = int(i), int(j)
+                for k in [k for k in self.cache if k not in (i, j)]:
+                    del self.cache[k]
+                ids_i, unit_i = self._block(i)
+                ids_j, unit_j = self._block(j)
                 if len(ids_i) == 0 or len(ids_j) == 0:
                     continue
                 sims = unit_i @ unit_j.T

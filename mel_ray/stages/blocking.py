@@ -248,6 +248,10 @@ def extract_band_stats(pairs_with_stats: "ray.data.Dataset") -> dict:
     (cheap: a filter map + tiny aggregate over the materialized stage)."""
     from ray.data.aggregate import Sum
 
+    # a checkpoint written by a pre-keep_stats build has no stats columns;
+    # treat it as zero accounting instead of failing the restore
+    if "dropped_bands" not in pairs_with_stats.schema().names:
+        return {"dropped_bands": 0, "salted_bands": 0}
     agg = pairs_with_stats.map_batches(
         lambda t: t.filter(pa.compute.equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
             ["dropped_bands", "salted_bands"]

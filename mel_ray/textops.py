@@ -449,12 +449,22 @@ def doc_simhash_pairs(sf_dir: str, max_hamming: int = 8):
     least one chunk untouched and must agree exactly on it — grouping by
     (chunk_id, chunk_value) is therefore a COMPLETE candidate set for
     the advertised K (the round-1 4-chunk version silently missed
-    distances 4-8).  More chunks = narrower chunk values = bigger
-    buckets; the shared salted/stop-banded pair emitter bounds the
-    quadratic blowup, and candidates are verified exactly by JOINING the
-    8-byte fingerprints onto the pairs (no driver-held fingerprint map).
+    distances 4-8).  Completeness requires the pair emitter to run
+    UNSALTED and UNCAPPED here (salting pairs only within a salt
+    subgroup; stopbands drop runs outright), so this op uses a
+    BlockingConfig with those limits disabled: chunk-value runs grow
+    ~N/2^w for w-bit chunks (w ≈ 64/(K+1)), making the per-run pair
+    work quadratic in N/2^w.  That is the honest price of an exact
+    Hamming<=K contract at K=8; at corpus scale choose a smaller K
+    (wider chunks) or the capped-but-lossy MinHash path
+    (:func:`doc_minhash_lsh_pairs`).
     """
-    cfg = BlockingConfig()
+    _no_limit = 1 << 31
+    cfg = BlockingConfig(
+        salt_limit=_no_limit,
+        stopband_limit=_no_limit,
+        max_pairs_per_group=1 << 62,
+    )
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fingerprints(t: pa.Table) -> pa.Table:
@@ -556,8 +566,17 @@ def _ragged_unique(values: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray,
 def _ragged_binary(values: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """Ragged uint64 rows -> variable-width binary column (Acero-joinable)."""
     n = len(offsets) - 1
+    byte_offsets = offsets.astype(np.int64) * 8
+    if len(byte_offsets) and byte_offsets[-1] >= 2**31:
+        # pa.binary() carries int32 offsets; a batch this large would
+        # silently wrap.  Batches are block-sized, so this fires only on
+        # a misconfigured block size — fail loudly instead of corrupting.
+        raise ValueError(
+            f"ragged binary batch of {byte_offsets[-1]} bytes overflows int32 "
+            "offsets; reduce the block/batch size for this stage"
+        )
     data = pa.py_buffer(np.ascontiguousarray(values.astype(np.uint64)).tobytes())
-    off32 = pa.py_buffer((offsets.astype(np.int64) * 8).astype(np.int32).tobytes())
+    off32 = pa.py_buffer(byte_offsets.astype(np.int32).tobytes())
     return pa.Array.from_buffers(pa.binary(), n, [None, off32, data])
 
 

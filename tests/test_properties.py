@@ -33,6 +33,23 @@ class TestRoundingProperties:
         # where the binary double sits off the decimal tie
         assert abs(got - want) <= 10.0**-nd + 1e-9
 
+    @given(st.integers(-1000, 1000))
+    @settings(max_examples=100, deadline=None)
+    def test_round_half_away_exact_ties(self, k):
+        """Binary-representable decimal ties must round AWAY from zero,
+        exactly — this is the case the tolerance above cannot police
+        (half-to-even would differ by a full quantum here)."""
+        from mel_ray.util import round_half_away
+
+        # k + 0.5 at nd=0: tie, exactly representable in binary
+        got = round_half_away(np.array([k + 0.5]), 0)[0]
+        assert got == (k + 1 if k + 0.5 > 0 else k), (k, got)
+        # k + 0.25 / k + 0.75 at nd=1: ties at the second decimal's half,
+        # exactly representable (x/4); away-from-zero on the .x5 boundary
+        got25 = round_half_away(np.array([k + 0.25]), 1)[0]
+        want25 = (k + 0.3) if k + 0.25 > 0 else (k + 0.2)
+        assert abs(got25 - round(want25, 10)) < 1e-9, (k, got25, want25)
+
 
 class TestShingleProperties:
     @given(st.lists(TEXT, min_size=1, max_size=8))
