@@ -30,6 +30,23 @@ from ..stages import scoring as S
 from ..state.manifest import StageCheckpointer
 
 
+def _input_shard_groups(corpus_path: str, max_partitions: int = 16) -> list[list[str]] | None:
+    """Group the input's parquet shards into <= max_partitions resume
+    units (one unit = one committed partition; grouping amortizes
+    per-pipeline scheduling overhead when the input has many shards)."""
+    from pathlib import Path
+
+    p = Path(corpus_path)
+    if not p.is_dir():
+        return None
+    shards = sorted(str(f) for f in p.rglob("*.parquet"))
+    if len(shards) < 2:
+        return None
+    n = min(max_partitions, len(shards))
+    per = (len(shards) + n - 1) // n
+    return [shards[i : i + per] for i in range(0, len(shards), per)]
+
+
 @dataclass
 class LinkageResult:
     clusters: "ray.data.Dataset"          # record_id, cluster_id, repo, path, sha256
@@ -54,16 +71,27 @@ def run_linkage(
 
     records = I.ingest(I.read_corpus(corpus_path), renames=renames)
 
-    features = ckpt.through(
-        "features",
-        lambda: records.map_batches(
+    def _featurize(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        return ds.map_batches(
             lambda b: B.featurize_batch(
                 b, cfg.blocking, cfg.scoring.embed_dim, cfg.scoring.embed_kgram
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-        ),
-    )
+        )
+
+    shard_groups = _input_shard_groups(corpus_path) if cfg.checkpoint_dir else None
+    if shard_groups and len(shard_groups) > 1:
+        # per-partition resume: each input-shard group is an independently
+        # committed partition (record ids are content fingerprints, so a
+        # partition-wise rebuild is byte-equivalent to the fused stage)
+        features = ckpt.through_partitioned(
+            "features",
+            shard_groups,
+            lambda files: _featurize(I.ingest(I.read_corpus(files), renames=renames)),
+        )
+    else:
+        features = ckpt.through("features", lambda: _featurize(records))
 
     pairs_full = ckpt.through(
         "pairs", lambda: B.candidate_pairs(features, cfg.blocking, keep_stats=True)

@@ -49,7 +49,9 @@ def _input_fingerprint(paths: list[str]) -> str:
 # bump whenever a stage's on-disk format changes (binary encodings,
 # column layout) so stale checkpoints from older code are rebuilt, not
 # silently restored with the wrong decode.
-FORMAT_VERSION = 2
+# v3: partitioned stages write part-{pid} subdirectories + journal.jsonl
+#     (and keep_stats pair checkpoints carry accounting columns).
+FORMAT_VERSION = 3
 
 
 class StageCheckpointer:
@@ -120,4 +122,106 @@ class StageCheckpointer:
         }
         manifest_path.write_text(json.dumps(manifest, indent=1, sort_keys=True))
         self.stats[name] = {"restored": False, "rows": total, "wall_sec": manifest["wall_sec"]}
+        return ray.data.read_parquet(str(data_dir))
+
+    def through_partitioned(
+        self,
+        name: str,
+        partition_tokens: list[Any],
+        build_partition: Callable[[Any], "ray.data.Dataset"],
+    ) -> "ray.data.Dataset":
+        """Run-or-restore a stage built from independent partitions, with
+        PER-PARTITION resume (SURVEY.md §3.3 "a partial stage resumes at
+        its first missing partition"; the reference's per-shard
+        idempotence, ``all_langs_no_slurm.sh:47-110`` + skip-if-nonempty
+        ``savers/npz.py:38-70``).
+
+        ``build_partition(token)`` must be deterministic per token (the
+        flagship qualifies: record ids are content fingerprints, not
+        sequence numbers).  Each partition commits independently — data
+        written to a temp dir, renamed to ``part-{pid}``, then a journal
+        line appended; the journal (not the final manifest) is the
+        per-partition commit point.  A torn run keeps every journaled
+        partition and recomputes only the missing remainder.
+        """
+        if self.root is None:
+            # no checkpoint dir: same semantics as a single fused stage
+            def build_all() -> "ray.data.Dataset":
+                parts = [build_partition(tok) for tok in partition_tokens]
+                out = parts[0]
+                return out.union(*parts[1:]) if len(parts) > 1 else out
+
+            return self.through(name, build_all)
+
+        stage_dir = self.root / name
+        data_dir = stage_dir / "data"
+        manifest_path = stage_dir / "manifest.json"
+        journal_path = stage_dir / "journal.jsonl"
+        if manifest_path.exists():
+            manifest = json.loads(manifest_path.read_text())
+            if manifest.get("input_fingerprint") == self.fingerprint:
+                self.stats[name] = {"restored": True, "rows": manifest["row_count"]}
+                return ray.data.read_parquet(str(data_dir))
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+        # torn (or fresh) run: the journal lists committed partitions
+        done: dict[int, dict] = {}
+        if journal_path.exists():
+            for line in journal_path.read_text().splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("fingerprint") != self.fingerprint:
+                    # journal from a different input/config: discard all
+                    shutil.rmtree(stage_dir, ignore_errors=True)
+                    done = {}
+                    break
+                if (data_dir / rec["part"]).is_dir():
+                    done[rec["pid"]] = rec
+        data_dir.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        n_restored = len(done)
+        with open(journal_path, "a") as journal:
+            for pid, token in enumerate(partition_tokens):
+                part_name = f"part-{pid:05d}"
+                if pid in done:
+                    continue  # committed by a previous (torn) run: skip
+                part_tmp = data_dir / f".tmp-{part_name}"
+                shutil.rmtree(part_tmp, ignore_errors=True)
+                shutil.rmtree(data_dir / part_name, ignore_errors=True)
+                part_tmp.mkdir(parents=True)
+                build_partition(token).write_parquet(str(part_tmp))
+                rows = sum(
+                    pq.read_metadata(f).num_rows for f in part_tmp.glob("*.parquet")
+                )
+                os.rename(part_tmp, data_dir / part_name)
+                rec = {
+                    "pid": pid,
+                    "part": part_name,
+                    "rows": rows,
+                    "fingerprint": self.fingerprint,
+                }
+                journal.write(json.dumps(rec, sort_keys=True) + "\n")
+                journal.flush()
+                os.fsync(journal.fileno())
+                done[pid] = rec
+        total = sum(done[pid]["rows"] for pid in range(len(partition_tokens)))
+        manifest = {
+            "stage": name,
+            "input_fingerprint": self.fingerprint,
+            "row_count": total,
+            "partitions": [
+                {"file": done[pid]["part"], "rows": done[pid]["rows"], "done": True}
+                for pid in range(len(partition_tokens))
+            ],
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        manifest_path.write_text(json.dumps(manifest, indent=1, sort_keys=True))
+        self.stats[name] = {
+            "restored": False,
+            "rows": total,
+            "wall_sec": manifest["wall_sec"],
+            "partitions_restored": n_restored,
+            "partitions_built": len(partition_tokens) - n_restored,
+        }
         return ray.data.read_parquet(str(data_dir))

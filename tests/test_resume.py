@@ -57,3 +57,56 @@ def test_torn_stage_is_recomputed(tmp_path, tiny_corpus):
     assert not res.stats["scored"]["restored"]       # recomputed
     assert res.stats["features"]["restored"]         # earlier stages untouched
     assert (stage / "manifest.json").exists()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_stage_resumes_at_first_missing_partition(tmp_path, tiny_corpus):
+    """Kill-mid-stage: completed feature partitions survive a torn run
+    untouched (byte-identical mtimes); only the missing remainder is
+    recomputed (SURVEY.md §3.3; reference per-shard idempotence,
+    all_langs_no_slurm.sh:47-110)."""
+    import json as _json
+    import shutil
+
+    from mel_ray.config import LinkageConfig
+    from mel_ray.pipelines.linkage import run_linkage
+
+    ckpt = tmp_path / "ckpt"
+    cfg = LinkageConfig(checkpoint_dir=str(ckpt))
+    res1 = run_linkage(str(tiny_corpus / "files"), cfg)
+    n1 = res1.clusters.count()
+    feat = ckpt / "features"
+    parts = sorted(p for p in (feat / "data").iterdir() if p.name.startswith("part-"))
+    assert len(parts) >= 2, "tiny corpus should shard into multiple partitions"
+    assert res1.stats["features"]["partitions_built"] == len(parts)
+
+    # simulate a crash mid-featurize: manifest not yet written, the last
+    # partition's rename+journal commit never happened
+    (feat / "manifest.json").unlink()
+    journal = feat / "journal.jsonl"
+    lines = journal.read_text().splitlines()
+    last = _json.loads(lines[-1])
+    shutil.rmtree(feat / "data" / last["part"])
+    journal.write_text("\n".join(lines[:-1]) + "\n")
+    kept_mtimes = {
+        str(f): f.stat().st_mtime_ns
+        for p in parts[:-1]
+        for f in p.rglob("*.parquet")
+    }
+
+    # downstream stages must also rebuild (their input stage was torn) —
+    # drop them so the comparison below is a full fresh derivation
+    for name in ("pairs", "scored", "components", "clusters"):
+        shutil.rmtree(ckpt / name, ignore_errors=True)
+
+    res2 = run_linkage(str(tiny_corpus / "files"), cfg)
+    assert not res2.stats["features"]["restored"]
+    assert res2.stats["features"]["partitions_restored"] == len(parts) - 1
+    assert res2.stats["features"]["partitions_built"] == 1
+    assert res2.stats["features"]["rows"] == res1.stats["features"]["rows"]
+    assert res2.clusters.count() == n1
+    # completed partitions were NOT rewritten
+    for path, mtime in kept_mtimes.items():
+        import pathlib
+
+        assert pathlib.Path(path).stat().st_mtime_ns == mtime, path
