@@ -133,7 +133,7 @@ def _query_vectors(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarra
 
 
 def _partitioned_search(
-    index: "ray.data.Dataset", q_ref, k: int
+    index: "ray.data.Dataset", q_ref, k: int, with_label: bool = False
 ) -> "ray.data.Dataset":
     """Shared partitioned-ANN core: the index Dataset carries a ``cell``
     column; search runs inside ``groupby(cell).map_groups`` so no worker
@@ -141,26 +141,33 @@ def _partitioned_search(
     semantics, scann_searcher.py:6-49).  ``q_ref`` broadcasts
     (query_ids, query_units, {cell -> query indices probing it}); the
     per-cell top-k candidates are merged by a final ``groupby(query_id)``
-    top-k (equal to top-k over the union of probed cells)."""
+    top-k (equal to top-k over the union of probed cells).
+
+    ``with_label=True`` rides the index's ``label`` column through to the
+    output (needed by the retrieve-until-k-unique-entities mode, T8)."""
     from .stages.blocking import binary_matrix
+
+    def _empty() -> pa.Table:
+        cols = {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+        if with_label:
+            cols["label"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
     def search_cell(group: pa.Table) -> pa.Table:
         ids_q, unit_q, probes_by_cell = ray.get(q_ref)
         cell = int(group["cell"][0].as_py())
         probing = probes_by_cell.get(cell)
-        empty = pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
-            }
-        )
         if probing is None:
-            return empty
+            return _empty()
         mem_ids = group["vec_id"].to_numpy()
+        mem_labels = group["label"].to_numpy() if with_label else None
         mem_unit = binary_matrix(group["unit"], np.float64)
         sims = mem_unit @ unit_q[probing].T  # (members, nq)
-        out_q, out_n, out_s = [], [], []
+        out_q, out_n, out_s, out_l = [], [], [], []
         for col, qi in enumerate(probing):
             s = sims[:, col]
             mask = mem_ids != ids_q[qi]  # exclude self
@@ -171,15 +178,18 @@ def _partitioned_search(
             out_q.extend([ids_q[qi]] * len(top))
             out_n.extend(cand_ids[top].tolist())
             out_s.extend(cand_s[top].tolist())
+            if with_label:
+                out_l.extend(mem_labels[mask][top].tolist())
         if not out_q:
-            return empty
-        return pa.table(
-            {
-                "query_id": pa.array(np.asarray(out_q, np.int64)),
-                "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
-                "cos_sim": pa.array(np.asarray(out_s, np.float64)),
-            }
-        )
+            return _empty()
+        cols = {
+            "query_id": pa.array(np.asarray(out_q, np.int64)),
+            "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
+            "cos_sim": pa.array(np.asarray(out_s, np.float64)),
+        }
+        if with_label:
+            cols["label"] = pa.array(np.asarray(out_l, np.int64))
+        return pa.table(cols)
 
     cands = index.groupby("cell").map_groups(search_cell, batch_format="pyarrow")
 
@@ -187,13 +197,14 @@ def _partitioned_search(
         s = group["cos_sim"].to_numpy()
         nid = group["neighbor_id"].to_numpy()
         top = np.lexsort((nid, -s))[:k]
-        return pa.table(
-            {
-                "query_id": pa.array(group["query_id"].to_numpy()[top]),
-                "neighbor_id": pa.array(nid[top]),
-                "cos_sim": pa.array(round_half_away(s[top], 4)),
-            }
-        )
+        cols = {
+            "query_id": pa.array(group["query_id"].to_numpy()[top]),
+            "neighbor_id": pa.array(nid[top]),
+            "cos_sim": pa.array(round_half_away(s[top], 4)),
+        }
+        if with_label:
+            cols["label"] = pa.array(group["label"].to_numpy()[top])
+        return pa.table(cols)
 
     return cands.groupby("query_id").map_groups(merge_topk, batch_format="pyarrow")
 
@@ -241,14 +252,100 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4)
     return _partitioned_search(index, q_ref, k)
 
 
-def knn_ivf(sf_dir: str, k: int = 5, num_queries: int = 20, num_cells: int = 16, nprobe: int = 4):
-    """IVF-partitioned approximate top-k (the FAISS-IVF / ScaNN-tree
-    analogue, T5 searcher family): a deterministic coarse quantizer — the
-    first ``num_cells`` vectors as centroids — assigns every vector to
-    its nearest-centroid cell with one broadcast matmul; each query
-    probes its ``nprobe`` nearest cells via the shared ``groupby(cell)``
-    search core.  Data-adaptive cells follow density (unlike LSH's
-    oblivious hyperplanes), the classic recall-per-probe win."""
+def _capped_embeddings(sf_dir: str, max_per_label: int | None, with_label: bool):
+    """embeddings source with the reference's per-key cap composed in
+    (T6 ``filter_based_on_max_per_qid``, index/index.py:102-120): keep
+    the ``max_per_label`` lowest vec_ids per label so a skewed label
+    cannot flood an IVF cell.
+
+    The cap is decided on the NARROW (vec_id, label) projection: a
+    per-batch combiner pre-cap (each batch keeps at most
+    ``max_per_label`` ids per label, so a hot label contributes
+    O(cap x num_blocks) rows to the exchange, never its full run),
+    then one small sort-shuffle finishes the global cap.  The kept id
+    set — at most ``num_labels * cap`` int64s — is assembled sorted by
+    a worker task and broadcast; the wide embedding column is filtered
+    map-side by binary search and never enters a shuffle.  (An Acero
+    ``Dataset.join`` cannot carry a ``list<float>`` non-key column; if
+    the kept-id set ever outgrows worker memory, encode the vector as
+    fixed-width binary — ``_binary_rows`` — and join partitioned.)"""
+    cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
+    if max_per_label is None:
+        return ds
+
+    narrow = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy()
+        vid = t["vec_id"].to_numpy()
+        order = np.lexsort((vid, lab))
+        lab_s = lab[order]
+        run_start = np.zeros(len(lab_s), dtype=bool)
+        if len(lab_s):
+            run_start[0] = True
+            run_start[1:] = lab_s[1:] != lab_s[:-1]
+        starts = np.flatnonzero(run_start)
+        rank = np.arange(len(lab_s)) - np.repeat(starts, np.diff(np.append(starts, len(lab_s))))
+        keep = order[rank < max_per_label]
+        return pa.table({"vec_id": pa.array(vid[keep]), "label": pa.array(lab[keep])})
+
+    def head(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["vec_id"].to_numpy(), kind="stable")[:max_per_label]
+        return pa.table({"vec_id": g["vec_id"].take(pa.array(order))})
+
+    keep = (
+        narrow.map_batches(local_cap, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(head, batch_format="pyarrow")
+    )
+
+    def _assemble(*parts) -> np.ndarray:
+        # empty groups can surface as zero-column blocks: keep only
+        # conforming non-empty tables before the concat
+        parts = [p for p in parts if len(p) and "vec_id" in p.schema.names]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        ids = pa.concat_tables(parts)["vec_id"].to_numpy()
+        return np.sort(ids)
+
+    ref = ray.remote(_assemble).remote(*keep.to_arrow_refs())
+
+    class KeepFilter:
+        def __init__(self, ref):
+            self.ids = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vid = t["vec_id"].to_numpy()
+            pos = np.searchsorted(self.ids, vid)
+            pos = np.minimum(pos, max(len(self.ids) - 1, 0))
+            hit = self.ids[pos] == vid if len(self.ids) else np.zeros(len(vid), bool)
+            return t.filter(pa.array(hit))
+
+    from .util import auto_pool_size
+
+    return ds.map_batches(
+        KeepFilter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=auto_pool_size(None),
+        num_cpus=0.5,
+    )
+
+
+def _ivf_index(
+    sf_dir: str,
+    num_cells: int,
+    with_label: bool = False,
+    max_per_label: int | None = None,
+):
+    """IVF index build shared by :func:`knn_ivf` / :func:`knn_k_unique`:
+    deterministic coarse quantizer (first ``num_cells`` vectors as
+    centroids), one broadcast matmul per batch to assign cells.
+    Returns ``(index_dataset, centroids)``; the index optionally carries
+    the ``label`` column (cast int64) for label-aware retrieval."""
     from .stages.blocking import _binary_rows
 
     c_ids, centroids = _query_vectors(sf_dir, num_cells)  # deterministic seeds
@@ -259,27 +356,129 @@ def knn_ivf(sf_dir: str, k: int = 5, num_queries: int = 20, num_cells: int = 16,
         unit_t = _unit_features_batch(t)
         unit = unit_t["unit_mat"]
         cell = np.argmax(unit @ cents.T, axis=1).astype(np.int32)
-        return pa.table(
-            {
-                "vec_id": unit_t["vec_id"],
-                "cell": pa.array(cell),
-                "unit": _binary_rows(np.ascontiguousarray(unit)),
-            }
-        )
+        cols = {
+            "vec_id": unit_t["vec_id"],
+            "cell": pa.array(cell),
+            "unit": _binary_rows(np.ascontiguousarray(unit)),
+        }
+        if with_label:
+            cols["label"] = pa.compute.cast(t["label"], pa.int64())
+        return pa.table(cols)
 
-    index = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(assign, batch_format="pyarrow")
+    index = _capped_embeddings(sf_dir, max_per_label, with_label).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    return index, centroids
 
-    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+
+def _probe_ref(q_ids, q_unit, centroids, nprobe: int, pending=None):
+    """Broadcast payload for `_partitioned_search`: each (pending) query
+    probes its ``nprobe`` nearest-centroid cells."""
     sims = q_unit @ centroids.T  # (nq, C)
     probe_cells = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    qis = range(len(q_ids)) if pending is None else pending
     probe_map: dict[int, list[int]] = {}
-    for qi in range(len(q_ids)):
+    for qi in qis:
         for c in probe_cells[qi]:
             probe_map.setdefault(int(c), []).append(qi)
-    q_ref = ray.put((q_ids, q_unit, {b: np.asarray(v) for b, v in probe_map.items()}))
+    return ray.put((q_ids, q_unit, {b: np.asarray(v) for b, v in probe_map.items()}))
+
+
+def knn_ivf(
+    sf_dir: str,
+    k: int = 5,
+    num_queries: int = 20,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    max_per_label: int | None = None,
+):
+    """IVF-partitioned approximate top-k (the FAISS-IVF / ScaNN-tree
+    analogue, T5 searcher family): a deterministic coarse quantizer — the
+    first ``num_cells`` vectors as centroids — assigns every vector to
+    its nearest-centroid cell with one broadcast matmul; each query
+    probes its ``nprobe`` nearest cells via the shared ``groupby(cell)``
+    search core.  Data-adaptive cells follow density (unlike LSH's
+    oblivious hyperplanes), the classic recall-per-probe win.
+
+    ``max_per_label`` composes the reference's per-key index cap (T6,
+    index/index.py:102-120) into the build so one hot label cannot
+    flood a cell."""
+    index, centroids = _ivf_index(sf_dir, num_cells, max_per_label=max_per_label)
+    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+    q_ref = _probe_ref(q_ids, q_unit, centroids, nprobe)
     return _partitioned_search(index, q_ref, k)
+
+
+def knn_k_unique(
+    sf_dir: str,
+    k: int = 3,
+    num_queries: int = 20,
+    num_cells: int = 4,
+    nprobe: int = 4,
+    max_rounds: int = 8,
+):
+    """Retrieve-until-k-UNIQUE-labels — the reference T8 "multiple" mode
+    (recall_calculator.py:79-98): per round, every still-unsatisfied
+    query retrieves its global top-r (r doubling per round, starting at
+    k) through the partitioned search core with the index's ``label``
+    riding along; scanning a query's top-r in (cos_sim desc,
+    neighbor_id) order, the first occurrence of each distinct label is
+    kept.  A query is satisfied when k distinct labels appear inside its
+    top-r, or when fewer than r rows came back (every candidate in its
+    probed cells has been seen, so the partial label set is complete).
+    Unsatisfied queries re-probe with doubled r — the reference's
+    doubling loop; driver state is only the query set and its top-r
+    rows (the genuinely small side).
+
+    Output: one row per (query, distinct label) with that label's best
+    neighbor, ``unique_rank`` 1..k by first appearance."""
+    import pandas as pd
+
+    index, centroids = _ivf_index(sf_dir, num_cells, with_label=True)
+    index = index.materialize()  # reused across doubling rounds
+    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+
+    pending = list(range(len(q_ids)))
+    done: list[pd.DataFrame] = []
+    r = max(k, 2)
+    for _ in range(max_rounds):
+        q_ref = _probe_ref(q_ids, q_unit, centroids, nprobe, pending)
+        res = _partitioned_search(index, q_ref, r, with_label=True).to_pandas()
+        still: list[int] = []
+        for qi in pending:
+            rows = res[res.query_id == q_ids[qi]].sort_values(
+                ["cos_sim", "neighbor_id"], ascending=[False, True], kind="stable"
+            )
+            first = rows.drop_duplicates("label", keep="first")
+            if len(first) >= k or len(rows) < r:
+                got = first.head(k).reset_index(drop=True)
+                got["unique_rank"] = np.arange(1, len(got) + 1, dtype=np.int64)
+                done.append(got)
+            else:
+                still.append(qi)
+        pending = still
+        if not pending:
+            break
+        r *= 2
+    if pending:  # max_rounds exhausted: emit what those queries have
+        q_ref = _probe_ref(q_ids, q_unit, centroids, nprobe, pending)
+        res = _partitioned_search(index, q_ref, r, with_label=True).to_pandas()
+        for qi in pending:
+            rows = res[res.query_id == q_ids[qi]].sort_values(
+                ["cos_sim", "neighbor_id"], ascending=[False, True], kind="stable"
+            )
+            got = rows.drop_duplicates("label", keep="first").head(k).reset_index(drop=True)
+            got["unique_rank"] = np.arange(1, len(got) + 1, dtype=np.int64)
+            done.append(got)
+    out = (
+        pd.concat(done, ignore_index=True)
+        .sort_values(["query_id", "unique_rank"], kind="stable")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(
+        out[["query_id", "label", "neighbor_id", "cos_sim", "unique_rank"]],
+        preserve_index=False,
+    )
 
 
 def _unit_features_batch(t: pa.Table) -> dict:
@@ -429,7 +628,7 @@ def emb_near_dupes_lsh(
     cands = (
         units.map_batches(band_rows, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pandas")
+        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pyarrow")
         .map_batches(
             lambda t: t.filter(
                 pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))

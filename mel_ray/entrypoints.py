@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": annops.knn_lsh,
         "knn_ivf": annops.knn_ivf,
         "knn_quantized": annops.knn_quantized,
+        "knn_ivf_capped": lambda sf: annops.knn_ivf(sf, max_per_label=20),
+        "knn_k_unique": annops.knn_k_unique,
         "emb_near_dupes": annops.emb_near_dupes,
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "emb_centroids": annops.emb_centroids,
@@ -455,8 +457,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # linkage_clusters / linkage_scored_pairs / linkage_f1_metrics /
         # cluster_size_hist / cluster_reps / doc_winnow_fingerprint /
-        # doc_simhash / doc_minhash_lsh_pairs / knn_lsh are intentionally
-        # absent: non-SQL-expressible (LSH banding, iterative union-find,
-        # hashed-ngram embeddings); the driver records rows-only checks and
-        # tests/ carries naive-Python oracles for each.
+        # doc_simhash / doc_minhash_lsh_pairs / knn_lsh / knn_ivf_capped /
+        # knn_k_unique are intentionally absent: non-SQL-expressible (LSH
+        # banding, iterative union-find, hashed-ngram embeddings, adaptive
+        # retrieval loops); the driver records rows-only checks and tests/
+        # carries naive-Python oracles for each.
     }

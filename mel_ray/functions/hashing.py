@@ -29,12 +29,27 @@ _SM3 = U64(0x94D049BB133111EB)
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain constants)."""
-    x = np.asarray(x, dtype=U64)
+    x = np.array(x, dtype=U64, copy=True)
+    splitmix64_inplace(x)
+    return x
+
+
+def splitmix64_inplace(x: np.ndarray, scratch: np.ndarray | None = None) -> None:
+    """In-place splitmix64 over a uint64 array: two buffers total
+    (input + one shift scratch) instead of ~8 expression temporaries —
+    the allocation-bound form for hot kernels (first-touch page faults,
+    not ALU, dominate big fresh arrays on cgroup-limited hosts)."""
+    t = scratch if scratch is not None and scratch.shape == x.shape else np.empty_like(x)
     with np.errstate(over="ignore"):
-        x = (x + _SM1).astype(U64)
-        x = (x ^ (x >> U64(30))) * _SM2
-        x = (x ^ (x >> U64(27))) * _SM3
-        return x ^ (x >> U64(31))
+        x += _SM1
+        np.right_shift(x, U64(30), out=t)
+        x ^= t
+        x *= _SM2
+        np.right_shift(x, U64(27), out=t)
+        x ^= t
+        x *= _SM3
+        np.right_shift(x, U64(31), out=t)
+        x ^= t
 
 
 def _powers(n: int, base: int) -> np.ndarray:

@@ -55,11 +55,18 @@ def minhash_signature(
     ne_starts = starts[ne]
     all_seeds = seeds_for(num_hashes, seed)
     chunk = 16
+    # preallocated (M, chunk) scratch reused across seed chunks: the mix
+    # is allocation-bound, not ALU-bound (see splitmix64_inplace)
+    from .hashing import splitmix64_inplace
+
+    mixed = np.empty((len(values), chunk), dtype=U64)
+    scratch = np.empty_like(mixed)
     for c0 in range(0, num_hashes, chunk):
         sd = all_seeds[c0 : c0 + chunk]
-        with np.errstate(over="ignore"):
-            mixed = splitmix64(values[:, None] ^ sd[None, :])  # (M, chunk)
-        out[ne, c0 : c0 + len(sd)] = np.minimum.reduceat(mixed, ne_starts, axis=0)
+        m = mixed[:, : len(sd)]
+        np.bitwise_xor(values[:, None], sd[None, :], out=m)
+        splitmix64_inplace(m, scratch[:, : len(sd)])
+        out[ne, c0 : c0 + len(sd)] = np.minimum.reduceat(m, ne_starts, axis=0)
     return out
 
 

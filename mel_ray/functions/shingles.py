@@ -81,22 +81,77 @@ def char_kgram_hashes(
     ``data``/``row_offsets`` as from :func:`string_array_buffers`.
     Returns ``(values:uint64[M], out_offsets:int64[N+1])``; rows shorter
     than ``k`` contribute a single whole-row hash.
+
+    For ``k <= 8`` a gram fits one little-endian uint64 word, so the
+    hash is a direct window load + splitmix64 — ~10x cheaper than the
+    general polynomial-prefix path (which needs two length-N power
+    tables and four gathers per gram).  The featurize hot path (embed
+    k-grams, k=4) always takes the fast branch.
     """
     n_rows = len(row_offsets) - 1
     lens = row_offsets[1:] - row_offsets[:-1]
     n_grams = np.maximum(lens - k + 1, np.minimum(lens, 1)).astype(np.int64)
 
-    hasher = substring_hasher(data)
     out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(n_grams, out=out_offsets[1:])
     total = int(out_offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=U64), out_offsets
+    if 1 <= k <= 8:
+        return _kgram_hashes_word(data, row_offsets, lens, n_grams, out_offsets, k)
 
+    hasher = substring_hasher(data)
     # Global start index of every k-gram: for each row, row_start + arange(n_grams).
     starts = np.repeat(row_offsets[:-1], n_grams) + (
         np.arange(total) - np.repeat(out_offsets[:-1], n_grams)
     )
     gram_len = np.repeat(np.minimum(lens, k), n_grams)
     values = hasher(starts, starts + gram_len)
+    return values, out_offsets
+
+
+def _kgram_hashes_word(
+    data: np.ndarray,
+    row_offsets: np.ndarray,
+    lens: np.ndarray,
+    n_grams: np.ndarray,
+    out_offsets: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """k<=8 fast path: gram bytes packed little-endian into uint64,
+    XORed with a per-gram-length salt (so a short row's whole-row gram
+    cannot collide with a k-gram sharing a zero-padded prefix), then
+    splitmix64.  One window-build pass over the buffer + one gather."""
+    total = int(out_offsets[-1])
+    n = len(data)
+    len_salt = splitmix64(np.arange(k + 1, dtype=U64) + U64(0xA11CE))
+    # w[i] = data[i] | data[i+1]<<8 | ... (truncated near the buffer end;
+    # in-row truncation is handled by the short-row branch below)
+    d64 = data.astype(U64)
+    w = d64.copy()
+    for t in range(1, k):
+        w[: n - t] |= d64[t:] << U64(8 * t)
+    values = np.empty(total, dtype=U64)
+
+    long_rows = lens >= k
+    if long_rows.any():
+        cnt = n_grams[long_rows]
+        ccs = np.zeros(len(cnt) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=ccs[1:])
+        local = np.arange(ccs[-1]) - np.repeat(ccs[:-1], cnt)
+        gidx = np.repeat(row_offsets[:-1][long_rows], cnt) + local
+        out_idx = np.repeat(out_offsets[:-1][long_rows], cnt) + local
+        values[out_idx] = splitmix64(w[gidx] ^ len_salt[k])
+
+    short_rows = (lens < k) & (lens > 0)
+    if short_rows.any():
+        sl = lens[short_rows]
+        so = row_offsets[:-1][short_rows]
+        sval = np.zeros(len(so), dtype=U64)
+        for t in range(k - 1):
+            m = sl > t
+            sval[m] |= d64[so[m] + t] << U64(8 * t)
+        values[out_offsets[:-1][short_rows]] = splitmix64(sval ^ len_salt[sl])
     return values, out_offsets
 
 

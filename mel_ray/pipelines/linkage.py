@@ -72,11 +72,17 @@ def run_linkage(
     records = I.ingest(I.read_corpus(corpus_path), renames=renames)
 
     def _featurize(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        # batch_size bounds the kernel's transient working set (~15 uint64
+        # temporaries per content byte): small batches keep each worker's
+        # arrays inside its warm malloc pool instead of faulting fresh
+        # pages every call — first-touch is ~100 MB/s on cgroup-limited
+        # hosts, so page faults, not compute, dominate big batches.
         return ds.map_batches(
             lambda b: B.featurize_batch(
                 b, cfg.blocking, cfg.scoring.embed_dim, cfg.scoring.embed_kgram
             ),
             batch_format="pyarrow",
+            batch_size=1024,
             zero_copy_batch=True,
         )
 

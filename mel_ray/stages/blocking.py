@@ -33,7 +33,6 @@ Skew handling (north rule: "salted band keys to defuse skew"):
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -127,8 +126,13 @@ def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     )
 
 
-def _emit_pairs_for_bucket(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataFrame:
-    """Vectorized pair emission for all band runs inside one bucket."""
+def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
+    """Vectorized pair emission for all band runs inside one bucket.
+
+    Arrow-native in AND out: returning a pandas frame would re-attach
+    pandas schema metadata to the block, which makes the schema
+    unhashable and defeats Ray's schema dedup in every downstream
+    reduce (the "Failed to hash the schemas" log spam)."""
     bh = group["band_hash"].to_numpy()
     rid = group["record_id"].to_numpy()
     order = np.lexsort((rid, bh))
@@ -195,17 +199,23 @@ def _emit_pairs_for_bucket(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataF
     # one stats row per bucket rides along (band accounting for the
     # lineage manifest): id_a == -1 marks it, id_b = -(bucket+2) keeps it
     # unique so it survives pair dedup; callers filter by id_a == -1
-    bucket_id = int(group["bucket"].iloc[0]) if len(group) else 0
+    bucket_id = int(group["bucket"][0].as_py()) if len(group) else 0
     stats_a = np.array([-1], dtype=np.int64)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "id_a": np.concatenate([a, stats_a]),
-            "id_b": np.concatenate([b, np.array([-(bucket_id + 2)], dtype=np.int64)]),
-            "dropped_bands": np.concatenate(
-                [np.zeros(len(a), np.int32), np.array([n_dropped_bands], np.int32)]
+            "id_a": pa.array(np.concatenate([a, stats_a])),
+            "id_b": pa.array(
+                np.concatenate([b, np.array([-(bucket_id + 2)], dtype=np.int64)])
             ),
-            "salted_bands": np.concatenate(
-                [np.zeros(len(a), np.int32), np.array([n_salted_bands], np.int32)]
+            "dropped_bands": pa.array(
+                np.concatenate(
+                    [np.zeros(len(a), np.int32), np.array([n_dropped_bands], np.int32)]
+                )
+            ),
+            "salted_bands": pa.array(
+                np.concatenate(
+                    [np.zeros(len(a), np.int32), np.array([n_salted_bands], np.int32)]
+                )
             ),
         }
     )
@@ -225,12 +235,21 @@ def candidate_pairs(
     :func:`extract_band_stats` and filters real pairs with
     :func:`strip_band_stats`.  The no-silent-caps accounting for
     stopband drops and salting."""
+    from ..util import shuffle_partitions
+
     bands = features.map_batches(
         lambda b: expand_bands_batch(b, cfg), batch_format="pyarrow", zero_copy_batch=True
     )
-    grouped = bands.groupby("bucket").map_groups(
-        lambda g: _emit_pairs_for_bucket(g, cfg),
-        batch_format="pandas",
+    # coalesce the 16x-expanded band fragments before the sort shuffle:
+    # the groupby exchanges num_blocks x num_partitions objects, so a
+    # fragmented input makes coordination dominate (see shuffle_partitions)
+    grouped = (
+        bands.repartition(shuffle_partitions())
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _emit_pairs_for_bucket(g, cfg),
+            batch_format="pyarrow",
+        )
     )
     if keep_stats:
         return dedup_pairs(grouped, cfg.num_buckets, carry_stats=True)
@@ -295,20 +314,24 @@ def dedup_pairs(
             "bucket", pa.array((h % U64(num_buckets)).astype(np.int32))
         )
 
-    def uniq(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[["id_a", "id_b"]].to_numpy()
-        order = np.lexsort((ids[:, 1], ids[:, 0]))
-        ids = ids[order]
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = (np.diff(ids[:, 0]) != 0) | (np.diff(ids[:, 1]) != 0)
-        out = {"id_a": ids[keep, 0], "id_b": ids[keep, 1]}
+    def uniq(group: pa.Table) -> pa.Table:
+        a = group["id_a"].to_numpy()
+        b = group["id_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (np.diff(a) != 0) | (np.diff(b) != 0)
+        out = {"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])}
         if carry_stats:
             for c in ("dropped_bands", "salted_bands"):
-                out[c] = group[c].to_numpy()[order][keep]
-        return pd.DataFrame(out)
+                out[c] = pa.array(group[c].to_numpy()[order][keep])
+        return pa.table(out)
+
+    from ..util import shuffle_partitions
 
     return (
         pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(shuffle_partitions())
         .groupby("bucket")
-        .map_groups(uniq, batch_format="pandas")
+        .map_groups(uniq, batch_format="pyarrow")
     )

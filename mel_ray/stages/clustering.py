@@ -24,7 +24,6 @@ deterministic "first wins" rule (SURVEY.md §7.4 item 2).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -45,7 +44,7 @@ def _star_round(edges: "ray.data.Dataset", cfg: ClusteringConfig, large: bool) -
         bucket = (splitmix64(src.view(U64)) % U64(num_buckets)).astype(np.int32)
         return pa.table({"u": pa.array(src), "v": pa.array(dst), "bucket": pa.array(bucket)})
 
-    def contract(group: pd.DataFrame) -> pd.DataFrame:
+    def contract(group: pa.Table) -> pa.Table:
         u = group["u"].to_numpy()
         v = group["v"].to_numpy()
         order = np.lexsort((v, u))
@@ -81,12 +80,14 @@ def _star_round(edges: "ray.data.Dataset", cfg: ClusteringConfig, large: bool) -
         a, b, key = a[order], b[order], key[order]
         first = np.ones(len(a), dtype=bool)
         first[1:] = np.diff(key.view(np.int64)) != 0
-        return pd.DataFrame({"u": a[first], "v": b[first]})
+        # Arrow out: a pandas return would attach pandas schema metadata,
+        # making block schemas unhashable (log spam + no schema dedup)
+        return pa.table({"u": pa.array(a[first]), "v": pa.array(b[first])})
 
     return (
         edges.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(contract, batch_format="pandas")
+        .map_groups(contract, batch_format="pyarrow")
     )
 
 

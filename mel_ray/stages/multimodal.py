@@ -4,19 +4,19 @@ Treats media as opaque ``binary`` columns with typed metadata, processed
 by actor-pool ``map_batches`` stages — the same stage shape as the
 bi-encoder embedder (reference T1, ``utils/embeddings.py:55-175``).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT available in this
-environment, so the decode step is STUBBED: ``decoder="real"`` raises
-``NotImplementedError`` where the library call would go, and the default
-``decoder="fake"`` produces a deterministic, content-derived pseudo
-decode so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested end-to-end.  Swapping in
-a real codec changes ONLY ``_decode_one``.
+Codecs: ``decoder="real"`` decodes BMP (24-bit) images and WAV (PCM16)
+audio with the pure-NumPy parsers in :mod:`mel_ray.functions.codecs` —
+no external libraries.  Video demux (a container format) still requires
+ffmpeg-class code and raises ``NotImplementedError`` at the demux call.
+``decoder="fake"`` keeps the deterministic content-derived pseudo decode
+used by the oracle-less driver queries (stable across codec changes).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -54,9 +54,22 @@ class MediaFeatureExtractor:
 
     def _decode_one(self, payload: memoryview, kind: str) -> np.ndarray:
         if self.decoder == "real":
+            from ..functions import codecs
+
+            if kind == "image":
+                img = codecs.decode_bmp(payload)
+                # luma signal, stride-capped to bound the basis matmul
+                sig = img.astype(np.float32).mean(axis=2).reshape(-1)
+                stride = max(1, len(sig) // 4096)
+                return sig[::stride]
+            if kind == "audio":
+                samples, _ = codecs.decode_wav(payload)
+                sig = samples.astype(np.float32).mean(axis=1)
+                stride = max(1, len(sig) // 4096)
+                return sig[::stride]
             raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg, not present in this "
-                "environment; plug the codec call here"
+                "real video decode requires an ffmpeg-class demuxer; "
+                "BMP/WAV are handled by mel_ray.functions.codecs"
             )
         # deterministic fake decode: stride-sampled bytes as the "signal"
         raw = np.frombuffer(payload, dtype=np.uint8)
@@ -110,26 +123,39 @@ class MediaFeatureExtractor:
 
 class MediaResizer:
     """Actor-pool resize stage (images): payload -> resized payload +
-    updated width/height metadata.  The codec (PIL) is stubbed exactly
-    like the extractor: ``decoder="real"`` raises at the library call;
-    the fake path deterministically stride-subsamples the byte payload
-    to the target pixel budget so schema/metadata plumbing is real."""
+    updated width/height metadata.  ``decoder="real"`` decodes BMP,
+    nearest-neighbor-resizes in NumPy, and re-encodes BMP; the fake path
+    deterministically stride-subsamples the byte payload to the target
+    pixel budget so schema/metadata plumbing stays testable for
+    non-BMP payloads."""
 
     def __init__(self, target_w: int = 64, target_h: int = 64, decoder: str = "fake"):
         self.tw, self.th = target_w, target_h
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.decoder == "real":
-            raise NotImplementedError(
-                "real image resize requires PIL, not present in this "
-                "environment; plug Image.open(...).resize(...) here"
-            )
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
         budget = self.tw * self.th
         out = []
+        if self.decoder == "real":
+            from ..functions import codecs
+
+            for i in range(len(batch)):  # per-media codec call is per-row
+                img = codecs.decode_bmp(payloads[i].as_buffer())
+                out.append(codecs.encode_bmp(codecs.resize_nearest(img, self.tw, self.th)))
+            n = len(batch)
+            return pa.table(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "payload": pa.array(out, pa.large_binary()),
+                    "width": pa.array(np.full(n, self.tw, dtype=np.int32)),
+                    "height": pa.array(np.full(n, self.th, dtype=np.int32)),
+                    "sample_rate": batch["sample_rate"],
+                }
+            )
         for i in range(len(batch)):  # per-media codec call is per-row
             raw = np.frombuffer(payloads[i].as_buffer(), dtype=np.uint8)
             stride = max(1, len(raw) // budget)
@@ -165,24 +191,30 @@ class FrameSampler:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        ids, kinds, frames, fidx = [], [], [], []
-        for i in range(len(batch)):
-            raw = np.frombuffer(payloads[i].as_buffer(), dtype=np.uint8)
-            clen = max(1, len(raw) // self.n_frames)
-            for f in range(0, self.n_frames, self.step):
-                chunk = raw[f * clen : (f + 1) * clen]
-                if len(chunk) == 0:
-                    break
-                ids.append(batch["media_id"][i].as_py())
-                kinds.append(batch["kind"][i].as_py())
-                frames.append(chunk.tobytes())
-                fidx.append(f)
+        # per-row frame counts, then one take/repeat gather for the id
+        # columns — only the chunk slicing is inherently per-row
+        plens = np.array([len(payloads[i].as_buffer()) for i in range(len(batch))])
+        clens = np.maximum(plens // self.n_frames, 1)
+        sample_idx = np.arange(0, self.n_frames, self.step)
+        n_emitted = np.minimum(
+            (plens[:, None] > sample_idx[None, :] * clens[:, None]).sum(axis=1),
+            len(sample_idx),
+        )
+        row_of = np.repeat(np.arange(len(batch)), n_emitted)
+        fidx = np.concatenate(
+            [sample_idx[:k] for k in n_emitted]
+        ) if len(batch) else np.empty(0, np.int64)
+        frames = [
+            payloads[int(i)].as_buffer()[int(f * clens[i]) : int((f + 1) * clens[i])]
+            for i, f in zip(row_of, fidx)
+        ]
+        take = pa.array(row_of)
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
-                "kind": pa.array(kinds, pa.string()),
-                "frame_index": pa.array(fidx, pa.int32()),
-                "frame": pa.array(frames, pa.large_binary()),
+                "media_id": pc.take(batch["media_id"], take),
+                "kind": pc.take(batch["kind"], take),
+                "frame_index": pa.array(fidx.astype(np.int32)),
+                "frame": pa.array([bytes(b) for b in frames], pa.large_binary()),
             }
         )
 
@@ -222,12 +254,31 @@ def extract_media_features(
     )
 
 
-def synth_media_dataset(n: int = 64, seed: int = 7) -> "ray.data.Dataset":
+def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -> "ray.data.Dataset":
     """Deterministic synthetic media table in MEDIA_SCHEMA (for tests and
-    the ``media_features`` query; no external data)."""
+    the ``media_features`` query; no external data).  With
+    ``real_codecs=True``, image rows carry valid BMP payloads and audio
+    rows valid WAV payloads (video keeps raw bytes — its demux stays
+    stubbed), so ``decoder="real"`` stages run end-to-end."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
-    payloads = [rng.bytes(int(rng.randint(256, 4096))) for _ in range(n)]
+    if real_codecs:
+        from ..functions import codecs
+
+        payloads = []
+        for kind in kinds:
+            if kind == "image":
+                w, h = int(rng.randint(4, 48)), int(rng.randint(4, 48))
+                payloads.append(
+                    codecs.encode_bmp(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+                )
+            elif kind == "audio":
+                samples = (rng.randn(int(rng.randint(64, 2048))) * 8192).astype(np.int16)
+                payloads.append(codecs.encode_wav(samples, 16000))
+            else:
+                payloads.append(rng.bytes(int(rng.randint(256, 4096))))
+    else:
+        payloads = [rng.bytes(int(rng.randint(256, 4096))) for _ in range(n)]
     tbl = pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),

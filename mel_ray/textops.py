@@ -508,7 +508,7 @@ def doc_simhash_pairs(sf_dir: str, max_hamming: int = 8):
     cands = (
         fps.map_batches(expand, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pandas")
+        .map_groups(lambda g: _emit_pairs_for_bucket(g, cfg), batch_format="pyarrow")
         .map_batches(
             lambda t: t.filter(pc.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
                 ["id_a", "id_b"]

@@ -38,6 +38,19 @@ def auto_join_partitions(requested: int | None, rows: int | None = None) -> int:
     return cap
 
 
+def shuffle_partitions(requested: int | None = None) -> int:
+    """Block count to repartition to IMMEDIATELY BEFORE a sort-shuffle
+    groupby.  Ray's sort exchanges num_blocks x num_partitions objects;
+    feeding it hundreds of tiny blocks (e.g. the 16x band expansion of
+    small featurize batches) makes coordination, not data movement, the
+    cost.  ~1 block per CPU keeps the exchange quadratic term at
+    cluster scale, not at fragment scale (measured 2.7x on the pair
+    stage at sf0.1/32 cpus)."""
+    if requested is not None:
+        return requested
+    return max(8, cluster_cpus())
+
+
 def auto_pool_size(requested: int | None) -> int:
     """Actor-pool size leaving CPU room for the feeding/consuming stages."""
     if requested is not None:

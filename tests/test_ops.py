@@ -78,6 +78,83 @@ class TestAnnOps:
             recalls.append(len(got & want) / len(want))
         assert np.mean(recalls) >= 0.35, np.mean(recalls)
 
+    def test_knn_k_unique_matches_naive(self):
+        """Adaptive retrieve-until-k-unique-labels (T8 "multiple" mode,
+        recall_calculator.py:79-98) vs a naive full-scan oracle: for each
+        query, scan ALL members of its probed IVF cells in (cos desc,
+        neighbor_id) order and keep the first occurrence of each distinct
+        label — the fixpoint the doubling loop must converge to."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.annops import _query_vectors, knn_k_unique
+
+        k, num_queries, num_cells, nprobe = 3, 20, 4, 4
+        got = knn_k_unique(SF, k=k, num_queries=num_queries,
+                           num_cells=num_cells, nprobe=nprobe).to_pandas()
+
+        t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        mat = np.stack(t.embedding.to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        ids = t.vec_id.to_numpy().astype(np.int64)
+        labels = t.label.to_numpy().astype(np.int64)
+        _, cents = _query_vectors(SF, num_cells)
+        cell = np.argmax(unit @ cents.T, axis=1)
+        q_ids, q_unit = _query_vectors(SF, num_queries)
+
+        want_rows = []
+        for qi, qid in enumerate(q_ids):
+            sims_c = q_unit[qi] @ cents.T
+            probe = set(np.argsort(-sims_c, kind="stable")[:nprobe])
+            mask = np.isin(cell, list(probe)) & (ids != qid)
+            s = unit[mask] @ q_unit[qi]
+            cand_ids, cand_lab = ids[mask], labels[mask]
+            order = np.lexsort((cand_ids, -s))
+            seen, rank = set(), 0
+            for j in order:
+                if cand_lab[j] in seen:
+                    continue
+                seen.add(cand_lab[j])
+                rank += 1
+                want_rows.append((qid, cand_lab[j], cand_ids[j], rank))
+                if rank == k:
+                    break
+        want = {(q, l, n, r) for q, l, n, r in want_rows}
+        have = {
+            (r.query_id, r.label, r.neighbor_id, r.unique_rank)
+            for r in got.itertuples()
+        }
+        assert have == want
+
+    def test_knn_ivf_per_label_cap_bounds_cells(self):
+        """The per-key cap composed into the IVF build (T6,
+        index/index.py:102-120): the capped index keeps exactly the
+        ``cap`` lowest vec_ids per label, so no (cell, label) group can
+        exceed the cap — and recall of the capped search stays sane."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.annops import _ivf_index, knn_bruteforce, knn_ivf
+
+        cap = 5
+        index, _ = _ivf_index(SF, num_cells=16, with_label=True, max_per_label=cap)
+        idx = index.to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "label"]).to_pandas()
+        want_keep = set(
+            t.sort_values("vec_id").groupby("label").head(cap).vec_id.to_numpy()
+        )
+        assert set(idx.vec_id) == want_keep
+        assert int(idx.groupby(["cell", "label"]).size().max()) <= cap
+
+        exact = knn_bruteforce(SF).to_pandas()
+        capped = knn_ivf(SF, max_per_label=50).to_pandas()  # cap > any label size
+        exact_sets = exact.groupby("query_id").neighbor_id.apply(set)
+        capped_sets = capped.groupby("query_id").neighbor_id.apply(set)
+        recalls = [
+            len(capped_sets.get(q, set()) & want) / len(want)
+            for q, want in exact_sets.items()
+        ]
+        # a no-op cap must not change IVF recall (same bar as the uncapped test)
+        assert np.mean(recalls) >= 0.35, np.mean(recalls)
+
     def test_emb_near_dupes_match_naive(self):
         import pyarrow.parquet as pq
 
@@ -288,12 +365,86 @@ class TestMultimodal:
         b = {r["media_id"]: tuple(np.round(r["features"], 6)) for r in out2}
         assert a == b
 
-    def test_real_decoder_raises_not_implemented(self):
+    def test_real_video_demux_still_raises(self):
         from mel_ray.stages.multimodal import MediaFeatureExtractor
 
         ex = MediaFeatureExtractor(decoder="real")
         with pytest.raises(NotImplementedError):
-            ex._decode_one(memoryview(b"xxxx"), "image")
+            ex._decode_one(memoryview(b"xxxx"), "video")
+
+    def test_codec_roundtrips(self):
+        """Pure-NumPy BMP and WAV encode/decode are exact inverses."""
+        from mel_ray.functions.codecs import (
+            CodecError,
+            decode_bmp,
+            decode_wav,
+            encode_bmp,
+            encode_wav,
+            resize_nearest,
+        )
+
+        rng = np.random.RandomState(11)
+        for w, h in [(1, 1), (3, 5), (16, 16), (37, 9)]:  # incl. padded row widths
+            img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            assert (decode_bmp(encode_bmp(img)) == img).all()
+        small = resize_nearest(img, 4, 4)
+        assert small.shape == (4, 4, 3)
+        for n, ch in [(1, 1), (777, 1), (1024, 2)]:
+            s = (rng.randn(n, ch) * 5000).astype(np.int16)
+            got, rate = decode_wav(encode_wav(s, 22050))
+            assert rate == 22050 and (got == s).all()
+        with pytest.raises(CodecError):
+            decode_bmp(b"not a bmp at all, definitely too weird")
+        with pytest.raises(CodecError):
+            decode_wav(b"RIFFxxxxJUNK" + b"\0" * 64)
+
+    def test_real_decode_feature_stage_end_to_end(self):
+        """decoder="real" runs the full actor-pool stage over valid
+        BMP/WAV payloads (video rows excluded: demux stays stubbed)."""
+        from mel_ray.stages.multimodal import MediaFeatureExtractor, synth_media_dataset
+
+        ds = synth_media_dataset(24, real_codecs=True).filter(
+            lambda r: r["kind"] != "video"
+        )
+        out = ds.map_batches(
+            MediaFeatureExtractor,
+            fn_constructor_args=(16, "real"),
+            batch_format="pyarrow",
+            batch_size=16,
+            concurrency=2,
+            num_cpus=0.5,
+        ).take_all()
+        assert len(out) >= 8
+        for r in out:
+            f = np.asarray(r["features"])
+            assert f.shape == (16,) and abs(np.linalg.norm(f) - 1.0) < 1e-3
+
+    def test_real_resize_preserves_image(self):
+        """decoder="real" resize decodes BMP, resizes, re-encodes BMP:
+        output parses back to the target dims with pixels drawn from the
+        source image."""
+        from mel_ray.functions.codecs import decode_bmp, encode_bmp
+        from mel_ray.stages.multimodal import MediaResizer
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, (20, 30, 3)).astype(np.uint8)
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "kind": pa.array(["image"]),
+                "payload": pa.array([encode_bmp(img)], pa.large_binary()),
+                "width": pa.array([30], pa.int32()),
+                "height": pa.array([20], pa.int32()),
+                "sample_rate": pa.array([0], pa.int32()),
+            }
+        )
+        out = MediaResizer(8, 6, decoder="real")(batch)
+        got = decode_bmp(out["payload"][0].as_py())
+        assert got.shape == (6, 8, 3)
+        assert out["width"][0].as_py() == 8 and out["height"][0].as_py() == 6
+        # nearest-neighbor: every output pixel exists in the source
+        src = {tuple(p) for p in img.reshape(-1, 3)}
+        assert all(tuple(p) in src for p in got.reshape(-1, 3))
 
     def test_resize_then_extract_composes(self):
         """resize -> feature-extract chains as Dataset stages; resized
