@@ -24,7 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .util import round_half_away
+from .util import read_parquet_clean, round_half_away
 
 def _unit_features(sf_dir: str) -> "ray.data.Dataset":
     """embeddings -> (vec_id, unit) with unit = L2-normalized float64
@@ -32,7 +32,7 @@ def _unit_features(sf_dir: str) -> "ray.data.Dataset":
     decodable) — built distributed, one batch at a time."""
     from .stages.blocking import _binary_rows
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def f(t: pa.Table) -> pa.Table:
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
@@ -51,7 +51,7 @@ def _query_ids(sf_dir: str, num_queries: int) -> "ray.data.Dataset":
     """first ``num_queries`` vec_ids (ORDER BY vec_id LIMIT n), as a
     small Dataset split into 2 blocks so a concurrency-2 pool fills."""
     return (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
         .sort("vec_id")
         .limit(num_queries)
         .map_batches(
@@ -121,7 +121,7 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
 def _query_vectors(sf_dir: str, num_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """first-n query ids + unit vectors (the genuinely small side)."""
     q_tbl = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .sort("vec_id")
         .limit(num_queries)
         .to_pandas()
@@ -233,7 +233,7 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 20, num_planes: int = 4)
             }
         )
 
-    index = ray.data.read_parquet(
+    index = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(bucketize, batch_format="pyarrow")
 
@@ -270,11 +270,11 @@ def _capped_embeddings(sf_dir: str, max_per_label: int | None, with_label: bool)
     the kept-id set ever outgrows worker memory, encode the vector as
     fixed-width binary — ``_binary_rows`` — and join partitioned.)"""
     cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=cols)
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=cols)
     if max_per_label is None:
         return ds
 
-    narrow = ray.data.read_parquet(
+    narrow = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
 
@@ -687,7 +687,7 @@ def knn_quantized(sf_dir: str, k: int = 5, num_queries: int = 20):
         )
 
     index_refs = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(quantize, batch_format="pyarrow")
         .materialize()
         .to_arrow_refs()
@@ -747,7 +747,7 @@ def emb_centroids(sf_dir: str):
     the grouped vector reduce of A6 ``combine_embs_by_qid``
     (combine_embs.py:9-43), partial sums per batch then one small
     groupby."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
         labels = t["label"].to_numpy()

@@ -12,6 +12,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from .util import read_parquet_clean
 from ray.data.aggregate import Count
 
 from .config import LinkageConfig
@@ -92,7 +94,7 @@ def linkage_f1_metrics(sf_dir: str):
 
     corpus = ensure_corpus(sf_dir)
     res = _run(sf_dir)
-    lp = ray.data.read_parquet(str(corpus / "labeled_pairs.parquet"))
+    lp = read_parquet_clean(str(corpus / "labeled_pairs.parquet"))
     return linkage_f1(lp, res.clusters)
 
 

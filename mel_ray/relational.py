@@ -16,13 +16,15 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+from .util import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Sum
 
 from .util import auto_join_partitions
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 # --- A3/A5: grouped aggregate (pre-aggregated per batch, then shuffled) ----

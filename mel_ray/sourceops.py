@@ -28,6 +28,8 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from .util import read_parquet_clean
+
 _BASE = Path("/tmp/mel_ray_sources")
 _N_SHARDS = 8
 
@@ -226,7 +228,7 @@ def nested_links(sf_dir: str):
     kernels (list_parent_indices + flatten + struct field) — proves the
     struct/list path flows through map_batches."""
     root = ensure_nested_export(sf_dir)
-    ds = ray.data.read_parquet(str(root / "docs_nested.parquet"), columns=["doc_id", "links"])
+    ds = read_parquet_clean(str(root / "docs_nested.parquet"), columns=["doc_id", "links"])
 
     def explode(t: pa.Table) -> pa.Table:
         links = t["links"]

@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..util import read_parquet_clean
+
 from ..functions.hashing import hash_pairs64, hash_strings64, sha256_hex
 
 CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
@@ -64,7 +66,7 @@ def ingest_batch(batch: pa.Table, renames: dict[str, str] | None = None) -> pa.T
 
 def read_corpus(corpus_path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Pruned parquet read of the input table (SURVEY.md §2.1 S1)."""
-    return ray.data.read_parquet(corpus_path, columns=columns or CORPUS_COLUMNS)
+    return read_parquet_clean(corpus_path, columns=columns or CORPUS_COLUMNS)
 
 
 def ingest(ds: "ray.data.Dataset", renames: dict[str, str] | None = None) -> "ray.data.Dataset":

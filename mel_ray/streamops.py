@@ -14,9 +14,11 @@ import pandas as pd
 
 import ray.data
 
+from .util import read_parquet_clean
+
 
 def _events(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):

@@ -11,6 +11,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from .util import read_parquet_clean
 from ray.data.aggregate import Count
 
 from .config import BlockingConfig, ScoringConfig
@@ -24,7 +26,7 @@ from .util import round_half_away
 
 
 def _docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_exact_dedup(sf_dir: str):
@@ -212,10 +214,24 @@ def doc_hash_split(sf_dir: str, m: int = 4, r: int = 1):
     ds = _docs(sf_dir, ["doc_id", "n_chars"])
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        h = np.array(
-            [int(hashlib.md5(str(int(x)).encode()).hexdigest()[:8], 16) for x in ids],
+        from .functions.hashing import string_array_buffers
+
+        # id -> decimal string via one vectorized Arrow cast; only the
+        # md5 call itself is per-row (required: the oracle is DuckDB's
+        # md5(CAST(doc_id AS VARCHAR)), and md5 has no batch form)
+        s = pa.compute.cast(t["doc_id"], pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        data, offsets = string_array_buffers(s)
+        mv = memoryview(data)
+        md5 = hashlib.md5
+        h = np.fromiter(
+            (
+                int.from_bytes(md5(mv[offsets[i] : offsets[i + 1]]).digest()[:4], "big")
+                for i in range(len(t))
+            ),
             dtype=np.uint64,
+            count=len(t),
         )
         return t.filter(pa.array((h % m) == r))
 

@@ -5,6 +5,27 @@ from __future__ import annotations
 import numpy as np
 
 
+def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with schema METADATA stripped from every
+    block.
+
+    Parquet written through pandas carries a ``b'pandas'`` schema
+    metadata entry; a ``pyarrow.Schema`` with ANY metadata is unhashable
+    (``hash(schema)`` raises ``unhashable type: 'dict'``), which defeats
+    Ray's schema dedup in every downstream sort/shuffle reduce and spams
+    "Failed to hash the schemas" once per reduce task.  The strip map
+    fuses with the read (zero-copy — only the schema object changes), so
+    blocks leave the scan hashable."""
+    import ray.data
+
+    ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
+
+    def strip(t):
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def round_half_away(x: "np.ndarray", nd: int) -> "np.ndarray":
     """Round half away from zero (DuckDB ``round()`` semantics).
 

@@ -110,3 +110,71 @@ def test_partitioned_stage_resumes_at_first_missing_partition(tmp_path, tiny_cor
         import pathlib
 
         assert pathlib.Path(path).stat().st_mtime_ns == mtime, path
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validate_output_tree_equality(tmp_path):
+    """tools/validate_output.py: two trees with the same rows in a
+    different row order AND different partitioning compare equal; a
+    single mutated value (or dtype) is caught.  (Reference analogue:
+    validate_tokens.py's sorted-multiset dir comparison.)"""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mel_ray.state import validate as V
+
+    rng = np.random.RandomState(5)
+    n = 1000
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.randn(n)
+    names = pa.array([f"row-{i}" for i in range(n)])
+    blobs = pa.array([bytes([i % 251]) * (i % 7 + 1) for i in range(n)], pa.binary())
+    tbl = pa.table({"id": pa.array(ids), "val": pa.array(vals), "name": names, "blob": blobs})
+
+    a = tmp_path / "tree_a"
+    b = tmp_path / "tree_b"
+    a.mkdir(); b.mkdir()
+    # tree A: two partitions split at 400
+    pq.write_table(tbl.slice(0, 400), a / "part-0.parquet")
+    pq.write_table(tbl.slice(400), a / "part-1.parquet")
+    # tree B: same rows shuffled, three different partitions
+    perm = rng.permutation(n)
+    shuf = tbl.take(pa.array(perm))
+    pq.write_table(shuf.slice(0, 123), b / "p0.parquet")
+    pq.write_table(shuf.slice(123, 500), b / "p1.parquet")
+    pq.write_table(shuf.slice(623), b / "p2.parquet")
+
+    rep = V.validate_trees(str(a), str(b))
+    assert rep["multiset_match"] and rep["schema_match"]
+
+    # one mutated float value in one partition -> caught
+    c = tmp_path / "tree_c"
+    c.mkdir()
+    vals2 = vals.copy(); vals2[777] += 1e-9
+    tbl2 = pa.table({"id": pa.array(ids), "val": pa.array(vals2), "name": names, "blob": blobs})
+    pq.write_table(tbl2, c / "all.parquet")
+    rep2 = V.validate_trees(str(a), str(c))
+    assert rep2["count_match"] and not rep2["multiset_match"]
+
+    # same values, different dtype -> schema mismatch (driver semantics)
+    d = tmp_path / "tree_d"
+    d.mkdir()
+    tbl3 = pa.table(
+        {"id": pa.array(ids.astype(np.int32)), "val": pa.array(vals), "name": names, "blob": blobs}
+    )
+    pq.write_table(tbl3, d / "all.parquet")
+    rep3 = V.validate_trees(str(a), str(d))
+    assert not rep3["schema_match"] and not rep3["multiset_match"]
+
+    # swapped values across columns of the same type -> caught (name salt)
+    e = tmp_path / "tree_e"
+    e.mkdir()
+    tbl4 = pa.table({"id": pa.array(ids), "val": pa.array(vals), "name": blobs.cast(pa.string()) if False else names, "blob": blobs})
+    # swap two STRING-hashable columns: rename name<->blob values
+    tbl4 = pa.table({"id": pa.array(ids), "val": pa.array(vals),
+                     "name": pa.array([b.as_py().decode("latin1") for b in blobs]),
+                     "blob": pa.array([s.as_py().encode() for s in names], pa.binary())})
+    pq.write_table(tbl4, e / "all.parquet")
+    rep4 = V.validate_trees(str(a), str(e))
+    assert rep4["schema_match"] and not rep4["multiset_match"]
