@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
         "sliding_window_counts": streamops.sliding_window_counts,
+        "asof_join": streamops.asof_join,
+        "stratified_sample": relational.stratified_sample,
+        "doc_mask_stopwords": textops.doc_mask_stopwords,
         "doc_simhash_pairs": textops.doc_simhash_pairs,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
         "media_features": _media_features,
@@ -357,6 +360,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events, range(0, 2) t(i)
             GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH c AS (
+              SELECT user_id, ts, max(event_id) AS last_click_id
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            p AS (
+              SELECT event_id, user_id, ts
+              FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.ts,
+                   c.last_click_id, c.ts AS last_click_ts
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type FROM (
+              SELECT event_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+              FROM events) WHERE rn <= 20
+        """,
+        "doc_mask_stopwords": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(the|and|of|to|in|a)\b', '<MASK>', 'g')
+                     AS masked_text,
+                   CAST(length(regexp_extract_all(text, '\b(the|and|of|to|in|a)\b'))
+                        AS BIGINT) AS n_masked
+            FROM documents
         """,
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha

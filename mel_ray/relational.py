@@ -410,3 +410,79 @@ def alias_table(sf_dir: str, r: int = 2):
         return g.head(r)
 
     return counts.groupby("user_id").map_groups(top, batch_format="pandas")
+
+
+# --- O9 deterministic variant: per-key hash-ordered sample ------------------
+def stratified_sample(sf_dir: str, n: int = 20):
+    """Deterministic stratified sample: per event_type, the ``n`` rows
+    with the smallest ``md5(event_id)`` — reproducible sampling with an
+    exact SQL mirror (``ORDER BY md5(...)`` per partition), unlike the
+    seed-dependent ``shuffled_cap`` (O9).
+
+    Scale shape: per-batch COMBINER pre-cap (each batch contributes at
+    most n rows per stratum to the exchange), then one tiny per-stratum
+    top-n.  The md5 call is per-row (oracle parity — DuckDB md5 has no
+    batch form) but runs on the short decimal id string, never content,
+    and only survives until the local cap."""
+    import hashlib
+
+    from .functions.hashing import string_array_buffers
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def md5_words(t: pa.Table) -> np.ndarray:
+        s = pc.cast(t["event_id"], pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        data, offsets = string_array_buffers(s)
+        mv = memoryview(data)
+        md5 = hashlib.md5
+        digests = b"".join(
+            md5(mv[offsets[i] : offsets[i + 1]]).digest() for i in range(len(t))
+        )
+        # hex-string order == big-endian numeric order of the 128-bit value
+        return np.frombuffer(digests, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        d = md5_words(t)
+        eid = t["event_id"].to_numpy()
+        codes = pc.dictionary_encode(
+            t["event_type"].combine_chunks()
+            if isinstance(t["event_type"], pa.ChunkedArray)
+            else t["event_type"]
+        ).indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, d[:, 1], d[:, 0], codes))
+        c_s = codes[order]
+        run_start = np.ones(len(c_s), dtype=bool)
+        run_start[1:] = c_s[1:] != c_s[:-1]
+        starts = np.flatnonzero(run_start)
+        rank = np.arange(len(c_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(c_s)))
+        )
+        keep = order[rank < n]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[keep]),
+                "event_type": t["event_type"].take(pa.array(keep)),
+                "h_hi": pa.array(d[keep, 0].view(np.int64)),
+                "h_lo": pa.array(d[keep, 1].view(np.int64)),
+            }
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        hi = g["h_hi"].to_numpy().view(np.uint64)
+        lo = g["h_lo"].to_numpy().view(np.uint64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, lo, hi))[:n]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order]),
+                "event_type": g["event_type"].take(pa.array(order)),
+            }
+        )
+
+    return (
+        ds.map_batches(local_cap, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -125,3 +125,73 @@ def sliding_window_counts(sf_dir: str, size_minutes: int = 60, slide_minutes: in
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"))
     )
+
+
+def asof_join(sf_dir: str, left_type: str = "purchase", right_type: str = "click"):
+    """Event-time AS-OF join (the custom operator Ray Data lacks,
+    composed per the partitioning rule: sort-within-key after ONE
+    ``groupby(user_id)`` shuffle): every ``left_type`` event joins the
+    most recent ``right_type`` event of the same user with
+    ``click.ts <= purchase.ts`` (backward as-of, inner).  Same-ts right
+    rows are deduplicated to the max event_id so the join is
+    deterministic (DuckDB's ASOF leaves equal-key ties unspecified).
+
+    Partitioning assumption (documented per SURVEY §2.9): one user's
+    event history fits one group — the same contract as sessionize;
+    salting a hot user would need a two-phase merge of per-salt as-of
+    results.  Both sides travel through ONE shuffle keyed by user_id
+    with a ``side`` flag instead of two separate exchanges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        is_l = pc.equal(t["event_type"], left_type)
+        is_r = pc.equal(t["event_type"], right_type)
+        t2 = t.filter(pc.or_(is_l, is_r))
+        side = pc.cast(pc.equal(t2["event_type"], left_type), pa.int8())
+        return pa.table(
+            {
+                "event_id": t2["event_id"],
+                "ts": t2["ts"],
+                "user_id": t2["user_id"],
+                "side": side,
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy()
+        side = g["side"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        L = side == 1
+        r_ts, r_id = ts[~L], eid[~L]
+        l_ts, l_id = ts[L], eid[L]
+        # dedupe right rows per ts: keep max event_id (deterministic)
+        order = np.lexsort((r_id, r_ts))
+        r_ts, r_id = r_ts[order], r_id[order]
+        if len(r_ts):
+            last = np.ones(len(r_ts), dtype=bool)
+            last[:-1] = r_ts[1:] != r_ts[:-1]
+            r_ts, r_id = r_ts[last], r_id[last]
+        pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+        hit = pos >= 0
+        l_ts, l_id, pos = l_ts[hit], l_id[hit], pos[hit]
+        uid = np.full(len(l_id), g["user_id"][0].as_py(), dtype=np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(l_id),
+                "user_id": pa.array(uid),
+                "ts": pa.array(l_ts).cast(pa.timestamp("us")),
+                "last_click_id": pa.array(r_id[pos] if len(pos) else np.empty(0, np.int64)),
+                "last_click_ts": pa.array(
+                    r_ts[pos] if len(pos) else np.empty(0, "datetime64[us]")
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )

@@ -675,3 +675,28 @@ def doc_ngram_jaccard_pairs(sf_dir: str, n: int = 2, threshold: float = 0.3):
         )
 
     return j.map_batches(exact, batch_format="pyarrow")
+
+
+def doc_mask_stopwords(sf_dir: str, replacement: str = "<MASK>"):
+    """M10 standalone text masking: replace English stopword tokens with
+    a mask token and count the replacements — the content-redaction /
+    PII-masking stage shape, as one vectorized RE2 kernel per batch
+    (shared regex dialect with the DuckDB oracle, like doc_quality)."""
+    pat = r"\b(the|and|of|to|in|a)\b"
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        masked = pa.compute.replace_substring_regex(
+            text, pattern=pat, replacement=replacement
+        )
+        n = pa.compute.count_substring_regex(text, pattern=pat)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "masked_text": masked,
+                "n_masked": pa.compute.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -491,3 +491,64 @@ class TestTextStats:
         fps = winnow_fingerprint(pa.array([base, base + " tail", "unrelated " * 40]))
         a, b, c = (int(x.as_py()) for x in fps)
         assert a == b != c
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventAndSampleOps:
+    def test_asof_join_matches_naive(self):
+        """Backward as-of join vs a per-user naive Python scan."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.streamops import asof_join
+
+        got = asof_join(SF).to_pandas()
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        clicks = ev[ev.event_type == "click"]
+        # dedupe same-ts clicks to max event_id (the op's documented rule)
+        clicks = (
+            clicks.sort_values(["user_id", "ts", "event_id"])
+            .groupby(["user_id", "ts"], as_index=False)
+            .last()
+        )
+        want = []
+        for p in ev[ev.event_type == "purchase"].itertuples():
+            c = clicks[(clicks.user_id == p.user_id) & (clicks.ts <= p.ts)]
+            if len(c):
+                best = c.sort_values("ts").iloc[-1]
+                want.append((p.event_id, p.user_id, p.ts, best.event_id, best.ts))
+        want_set = set(want)
+        got_set = {
+            (r.event_id, r.user_id, r.ts, r.last_click_id, r.last_click_ts)
+            for r in got.itertuples()
+        }
+        assert got_set == want_set
+
+    def test_stratified_sample_deterministic_and_capped(self):
+        from mel_ray.relational import stratified_sample
+
+        a = stratified_sample(SF, n=7).to_pandas()
+        b = stratified_sample(SF, n=7).to_pandas()
+        key = lambda df: sorted(map(tuple, df.to_numpy()))
+        assert key(a) == key(b)
+        assert (a.groupby("event_type").size() <= 7).all()
+        # md5 ordering != id ordering: the sample is not just head(n)
+        heads = set()
+        import pyarrow.parquet as pq
+        ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        for t, grp in ev.groupby("event_type"):
+            heads |= set(grp.event_id.nsmallest(7))
+        assert set(a.event_id) != heads
+
+    def test_doc_mask_stopwords_counts(self):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_mask_stopwords
+
+        got = doc_mask_stopwords(SF).to_pandas().set_index("doc_id")
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(50)
+        pat = re.compile(r"\b(the|and|of|to|in|a)\b")
+        for r in docs.itertuples():
+            assert got.loc[r.doc_id, "masked_text"] == pat.sub("<MASK>", r.text)
+            assert got.loc[r.doc_id, "n_masked"] == len(pat.findall(r.text))
