@@ -35,10 +35,19 @@ def embed_strings(
         return np.empty((0, dim), dtype=np.float32)
     values, out_off = char_kgram_hashes(data, offsets, k)
     counts = (out_off[1:] - out_off[:-1]).astype(np.int64)
-    row_of = np.repeat(np.arange(n, dtype=np.int64), counts)
-    bucket = (values % U64(dim)).astype(np.int64)
-    sign = np.where((values >> U64(32)) & U64(1) == 1, 1.0, -1.0).astype(np.float32)
-    flat_idx = row_of * dim + bucket
+    # flat scatter index: repeat the row base (row*dim), add the bucket
+    # in place; power-of-two dims use a mask instead of a u64 division
+    flat_idx = np.repeat(np.arange(n, dtype=np.int64) * dim, counts)
+    if dim & (dim - 1) == 0:
+        bucket = values & U64(dim - 1)
+    else:
+        bucket = values % U64(dim)
+    flat_idx += bucket.astype(np.int64)
+    # bincount weights are accumulated in float64 regardless — build the
+    # sign there directly (one temp instead of bool+f64+f32 chains)
+    sign = ((values >> U64(32)) & U64(1)).astype(np.float64)
+    sign *= 2.0
+    sign -= 1.0
     mat = np.bincount(flat_idx, weights=sign, minlength=n * dim).reshape(n, dim)
     mat = mat.astype(np.float32)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -94,7 +94,15 @@ def string_array_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
     Handles ``string`` and ``large_string``; chunked arrays must be
     combined by the caller.
-    """
+
+    The returned view is REBASED to the array's own byte range (data
+    trimmed to ``[offsets[0], offsets[-1])``, offsets shifted to start
+    at 0).  This matters for SLICES: Ray Data cuts blocks into
+    ``batch_size`` batches zero-copy, so a batch's string column shares
+    its parent block's buffer — without rebasing, every whole-buffer
+    kernel (prefix-table build, k-gram window pack) does O(block) work
+    per O(batch) slice, silently multiplying the hot path by
+    block_rows/batch_size."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
@@ -106,6 +114,9 @@ def string_array_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    if len(offsets) and (offsets[0] != 0 or offsets[-1] != len(data)):
+        data = data[offsets[0] : offsets[-1]]
+        offsets = offsets - offsets[0]
     return data, offsets
 
 
