@@ -241,13 +241,15 @@ def assign_clusters(
                     cid = rid
                 return batch.append_column("cluster_id", pa.array(cid.astype(np.int64)))
 
-        from ..util import auto_pool_size
+        from ..util import cluster_cpus
 
+        # broadcast map with no co-running aggregators: half the machine
+        # at 0.5 cpu/actor (the searchsorted probe is memory-light)
         return records.map_batches(
             Assign,
             fn_constructor_args=(ref,),
             batch_format="pyarrow",
-            concurrency=auto_pool_size(None),
+            concurrency=max(2, cluster_cpus() // 2),
             num_cpus=0.5,
         )
 

@@ -266,15 +266,20 @@ def score_pairs_broadcast(
     features: "ray.data.Dataset",
     scoring: ScoringConfig,
 ) -> "ray.data.Dataset":
-    from ..util import auto_pool_size
+    from ..util import cluster_cpus
 
     ref = _collect_features_ref(features)
+    # the broadcast path has NO co-running join aggregators (that is the
+    # point), so the scorer pool can take half the machine instead of the
+    # conservative quarter the partitioned cascade leaves for Acero
+    # aggregator actors (see the deadlock note on auto_pool_size)
+    pool = scoring.concurrency or max(2, cluster_cpus() // 2)
     return pairs.map_batches(
         BroadcastPairScorer,
         fn_constructor_args=(ref, scoring),
         batch_format="pyarrow",
         batch_size=scoring.batch_size * 4,
-        concurrency=auto_pool_size(scoring.concurrency),
+        concurrency=pool,
         num_cpus=1,
     )
 
