@@ -13,10 +13,19 @@ def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
     metadata entry; a ``pyarrow.Schema`` with ANY metadata is unhashable
     (``hash(schema)`` raises ``unhashable type: 'dict'``), which defeats
     Ray's schema dedup in every downstream sort/shuffle reduce and spams
-    "Failed to hash the schemas" once per reduce task.  The strip map
-    fuses with the read (zero-copy — only the schema object changes), so
-    blocks leave the scan hashable."""
+    "Failed to hash the schemas" once per reduce task.  Passing an
+    explicit metadata-free ``schema=`` makes the SCAN ITSELF emit clean
+    blocks (a downstream strip map cannot fix the read operator's own
+    schema accounting); when the schema cannot be sniffed up front we
+    fall back to a zero-copy strip map fused with the read."""
     import ray.data
+
+    if "schema" not in kwargs:
+        schema = _sniff_clean_schema(paths, columns)
+        if schema is not None:
+            return ray.data.read_parquet(
+                paths, columns=columns, schema=schema, **kwargs
+            )
 
     ds = ray.data.read_parquet(paths, columns=columns, **kwargs)
 
@@ -24,6 +33,33 @@ def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
         return t.replace_schema_metadata(None) if t.schema.metadata else t
 
     return ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sniff_clean_schema(paths, columns):
+    """Projected, metadata-free schema of the first parquet file under
+    ``paths``, or ``None`` when it cannot be determined (caller falls
+    back to a post-read strip)."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    first = paths[0] if isinstance(paths, (list, tuple)) and paths else paths
+    if not isinstance(first, (str, os.PathLike)):
+        return None
+    first = str(first)
+    try:
+        if os.path.isdir(first):
+            hits = sorted(_glob.glob(os.path.join(first, "*.parquet")))
+            if not hits:
+                return None
+            first = hits[0]
+        full = pq.read_schema(first)
+        names = columns if columns is not None else full.names
+        return pa.schema([full.field(c).remove_metadata() for c in names])
+    except Exception:
+        return None
 
 
 def round_half_away(x: "np.ndarray", nd: int) -> "np.ndarray":
