@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_counts": streamops.sliding_window_counts,
         "asof_join": streamops.asof_join,
         "stratified_sample": relational.stratified_sample,
+        "grouped_quantile": relational.grouped_quantile,
+        "approx_quantile": relational.approx_quantile,
+        "range_join": relational.range_join,
         "doc_mask_stopwords": textops.doc_mask_stopwords,
         "doc_simhash_pairs": textops.doc_simhash_pairs,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
@@ -372,6 +375,22 @@ def oracle_sql() -> dict[str, str]:
                    c.last_click_id, c.ts AS last_click_ts
             FROM p ASOF JOIN c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "grouped_quantile": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS q50,
+                   round(quantile_cont(l_quantity, 0.95), 4) AS q95
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "range_join": """
+            WITH bands AS (
+              SELECT CAST(b AS BIGINT) AS band_id,
+                     b * 5000.0 AS lo, b * 5000.0 + 15000.0 AS hi
+              FROM range(0, 100) t(b))
+            SELECT band_id, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band_id ORDER BY band_id
         """,
         "stratified_sample": """
             SELECT event_id, event_type FROM (

@@ -20,7 +20,7 @@ import ray.data
 from .util import read_parquet_clean
 from ray.data.aggregate import Count, Mean, Sum
 
-from .util import auto_join_partitions
+from .util import auto_join_partitions, round_half_away
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -486,3 +486,174 @@ def stratified_sample(sf_dir: str, n: int = 20):
         .groupby("event_type")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+# --- A11: exact grouped quantiles via (key,value) count histogram ----------
+def grouped_quantile(sf_dir: str, qs=((0.5, "q50"), (0.95, "q95"))):
+    """Exact interpolated quantiles (DuckDB ``quantile_cont`` semantics)
+    of ``l_quantity`` per ``l_returnflag``.
+
+    Scale path: a quantile over a BOUNDED-DOMAIN column never sorts or
+    collects the data — pass 1 reduces to per-(key, value) counts
+    (Arrow combiner inside ``map_batches``, then a groupby whose payload
+    is O(keys × distinct-values), independent of row count), pass 2
+    interpolates from cumulative counts inside ``map_groups`` on the
+    tiny histogram.  Continuous domains take the same plan over
+    fixed-width bins (approx) or a two-pass exact select.  Interpolation
+    is ``lo + frac·(hi − lo)`` on ``pos = q·(n−1)``, matching DuckDB's
+    continuous interpolator bit-for-bit before the shared round(4).
+    Reference analogue: grouped stats A7/A9 (SURVEY.md §2;
+    src/models/recall_calculator.py aggregates per-entity score stats
+    the same two-pass way).
+    """
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate([([], "count_all")])
+        return g.rename_columns(["l_returnflag", "l_quantity", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    return hist.groupby("l_returnflag").map_groups(
+        _interp_quantiles("l_returnflag", "l_quantity", qs), batch_format="pyarrow"
+    )
+
+
+# --- J9: overlapping-interval (range) join, aggregated per interval --------
+def range_join(
+    sf_dir: str, step: float = 5000.0, width: float = 15000.0, nbands: int = 100
+):
+    """Non-equi range join: orders × overlapping price bands
+    ``[b·step, b·step + width)``, aggregated per band.
+
+    True interval-join semantics — bands overlap, so one row joins up
+    to ``width/step`` bands (not binning).  The big side streams; each
+    batch finds its matching band RANGE per row with two
+    ``searchsorted`` probes against the sorted lo/hi edges (the exact
+    ``>=`` / ``<`` comparisons the SQL oracle uses — no float-division
+    boundary risk), expands (row, band) pairs vectorized, and partially
+    aggregates with ``bincount`` so AT MOST ``nbands`` rows per batch
+    enter the shuffle — replicated join rows never leave the batch.
+    Assumes interval lo AND hi edges are each sorted (true for sliding
+    bands; arbitrary interval sets would grid-bin first).  The
+    row-emitting form is the same probe minus the bincount tail.
+    (J family, SURVEY.md §2; oracle joins the same generate_series
+    bands.)
+    """
+    los = np.arange(nbands, dtype=np.float64) * step
+    his = los + width
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b_end = np.searchsorted(los, x, side="right") - 1  # max b: lo_b <= x
+        b_start = np.searchsorted(his, x, side="right")  # min b: x < hi_b
+        counts = np.maximum(b_end - b_start + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "band_id": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "sum_price": pa.array([], pa.float64()),
+                }
+            )
+        starts_rep = np.repeat(b_start, counts)
+        seg0 = np.concatenate(([0], counts.cumsum()[:-1]))
+        bands = starts_rep + (np.arange(total) - np.repeat(seg0, counts))
+        price_rep = np.repeat(x, counts)
+        n_b = np.bincount(bands, minlength=nbands)
+        s_b = np.bincount(bands, weights=price_rep, minlength=nbands)
+        keep = np.flatnonzero(n_b)
+        return pa.table(
+            {
+                "band_id": pa.array(keep, pa.int64()),
+                "n_orders": pa.array(n_b[keep], pa.int64()),
+                "sum_price": pa.array(s_b[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band_id")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_price", alias_name="sum_price"),
+        )
+        .sort("band_id")
+    )
+    return out.map_batches(_round_cols(["sum_price"]), batch_format="pyarrow")
+
+
+# --- A11b: approx grouped quantile for CONTINUOUS domains ------------------
+def approx_quantile(
+    sf_dir: str,
+    nbins: int = 8192,
+    lo: float = 0.0,
+    hi: float = 512000.0,
+    qs=((0.5, "q50"), (0.95, "q95")),
+):
+    """Approximate grouped quantiles of ``o_totalprice`` per
+    ``o_orderpriority`` via a fixed-width histogram — the scale path
+    ``grouped_quantile``'s docstring promises for continuous domains.
+
+    Per batch each row maps to one of ``nbins`` equi-width bins
+    (vectorized floor-divide), Arrow-combined to per-(key, bin) counts;
+    the shuffle payload is O(keys × nbins) regardless of row count.
+    The final ``map_groups`` interpolates exactly as the exact op but
+    over bin MIDPOINTS, so the absolute error is bounded by one bin
+    width ((hi−lo)/nbins ≈ 62 at the defaults) — asserted in tests
+    against the exact quantile.  Pairs with ``grouped_quantile`` the
+    way ``approx_distinct_count`` (HLL) pairs with ``distinct_count``.
+    """
+    w = (hi - lo) / nbins
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        b = np.clip(((x - lo) / w).astype(np.int64), 0, nbins - 1)
+        mid = lo + (b.astype(np.float64) + 0.5) * w
+        g = (
+            pa.table({"o_orderpriority": t["o_orderpriority"], "mid": mid})
+            .group_by(["o_orderpriority", "mid"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "mid", "n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderpriority", "mid"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return hist.groupby("o_orderpriority").map_groups(
+        _interp_quantiles("o_orderpriority", "mid", qs), batch_format="pyarrow"
+    )
+
+
+def _interp_quantiles(key_col: str, val_col: str, qs):
+    """Group fn: interpolated quantiles from a (value, count) histogram
+    — ``lo + frac·(hi − lo)`` at ``pos = q·(n−1)``, DuckDB
+    ``quantile_cont`` semantics."""
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g[val_col])
+        vals = g[val_col].take(order).to_numpy(zero_copy_only=False)
+        cum = g["n"].take(order).to_numpy(zero_copy_only=False).cumsum()
+        n = int(cum[-1])
+        out = {key_col: [g[key_col][0].as_py()]}
+        for q, name in qs:
+            pos = q * (n - 1)
+            lo_i = int(np.floor(pos))
+            hi_i = int(np.ceil(pos))
+            v_lo = vals[np.searchsorted(cum, lo_i, side="right")]
+            v_hi = vals[np.searchsorted(cum, hi_i, side="right")]
+            x = v_lo + (pos - lo_i) * (v_hi - v_lo)
+            out[name] = [float(round_half_away(x, 4))]
+        return pa.table(out)
+
+    return quantiles

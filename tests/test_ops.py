@@ -552,3 +552,60 @@ class TestEventAndSampleOps:
         for r in docs.itertuples():
             assert got.loc[r.doc_id, "masked_text"] == pat.sub("<MASK>", r.text)
             assert got.loc[r.doc_id, "n_masked"] == len(pat.findall(r.text))
+
+    def test_grouped_quantile_matches_numpy(self):
+        import pyarrow.parquet as pq
+
+        from mel_ray.relational import grouped_quantile
+
+        got = grouped_quantile(SF).to_pandas().set_index("l_returnflag")
+        li = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+        ).to_pandas()
+        for flag, grp in li.groupby("l_returnflag"):
+            # np.quantile linear interpolation == DuckDB quantile_cont
+            want50 = round(float(np.quantile(grp.l_quantity, 0.5)), 4)
+            want95 = round(float(np.quantile(grp.l_quantity, 0.95)), 4)
+            assert got.loc[flag, "q50"] == pytest.approx(want50, abs=1e-9)
+            assert got.loc[flag, "q95"] == pytest.approx(want95, abs=1e-9)
+
+    def test_range_join_matches_naive(self):
+        import pyarrow.parquet as pq
+
+        from mel_ray.relational import range_join
+
+        got = range_join(SF).to_pandas().set_index("band_id")
+        x = (
+            pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+            .column(0)
+            .to_numpy(zero_copy_only=False)
+        )
+        want = {}
+        for b in range(100):
+            lo, hi = b * 5000.0, b * 5000.0 + 15000.0
+            m = (x >= lo) & (x < hi)
+            if m.any():
+                want[b] = (int(m.sum()), round(float(x[m].sum()), 2))
+        assert set(got.index) == set(want)
+        for b, (n, s) in want.items():
+            assert got.loc[b, "n_orders"] == n
+            assert got.loc[b, "sum_price"] == pytest.approx(s, abs=1e-6)
+        # overlap is real: rows land in up to width/step = 3 bands
+        assert got.n_orders.sum() > len(x) * 2
+
+    def test_approx_quantile_error_bound(self):
+        import pyarrow.parquet as pq
+
+        from mel_ray.relational import approx_quantile
+
+        nbins, lo, hi = 8192, 0.0, 512000.0
+        got = approx_quantile(SF, nbins=nbins, lo=lo, hi=hi).to_pandas()
+        got = got.set_index("o_orderpriority")
+        od = pq.read_table(
+            f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        ).to_pandas()
+        w = (hi - lo) / nbins
+        for prio, grp in od.groupby("o_orderpriority"):
+            for q, name in ((0.5, "q50"), (0.95, "q95")):
+                exact = float(np.quantile(grp.o_totalprice, q))
+                assert abs(got.loc[prio, name] - exact) <= w
