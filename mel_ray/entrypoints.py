@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_filter": textops.doc_quality_filter,
         "doc_dedup_keep": textops.doc_dedup_keep,
         "doc_heavy_hitter_words": textops.doc_heavy_hitter_words,
+        "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
+        "doc_quality_pct_filter": textops.doc_quality_pct_filter,
         # --- similarity search over embeddings ---
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
@@ -446,6 +448,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS n_occurrences
             FROM words GROUP BY word
             HAVING count(*) * 100 > (SELECT count(*) FROM words)
+        """,
+        "doc_quality_pct_filter": """
+            WITH q AS (
+              SELECT doc_id,
+                     round(length(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                           / greatest(length(text), 1), 4) AS alpha4
+              FROM documents),
+            t AS (SELECT quantile_cont(alpha4, 0.2) AS thr FROM q)
+            SELECT doc_id, alpha4 FROM q, t WHERE alpha4 >= thr
+        """,
+        "doc_tfidf_top_terms": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS word
+              FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS nn FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.word, tf.tf * ln(nn / df) AS s
+              FROM tf JOIN df USING (word) CROSS JOIN n)
+            SELECT doc_id, word AS term, round(s, 4) AS tfidf FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY s DESC, word ASC) AS rn
+              FROM scored) WHERE rn <= 3
         """,
         "doc_md5_fingerprint": """
             SELECT doc_id, md5(text) AS fp_md5 FROM documents

@@ -13,7 +13,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .util import read_parquet_clean
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum as RSum
 
 from .config import BlockingConfig, ScoringConfig
 from .functions import textstats as TS
@@ -700,3 +700,158 @@ def doc_mask_stopwords(sf_dir: str, replacement: str = "<MASK>"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_tfidf_top_terms(sf_dir: str, topk: int = 3):
+    """Per-document top-k terms by TF-IDF (``tf · ln(N/df)``) — the
+    classic corpus-statistics op a training-data pipeline runs before
+    term-based filtering or keyword extraction.
+
+    Scale plan (three narrow exchanges, the wide text never shuffles):
+
+    1. **tf** is exact PER BATCH with no shuffle at all — a document
+       never spans batches, so per-batch (doc, word) Arrow group-counts
+       are final term frequencies;
+    2. **df** sums per-batch (word, n_docs) partials through one
+       vocabulary-sized groupby ((doc, word) is unique globally, so
+       rows-per-word partials add up to distinct-doc counts);
+    3. df is attached back BY JOIN on ``word`` (the generic path — a
+       broadcast lookup only works while the vocabulary fits in one
+       heap, which a 100 TB corpus's does not), then one doc-keyed
+       ``map_groups`` picks top-k per doc (groups are per-document,
+       bounded by doc length).
+
+    Ranking is on the UNROUNDED score with a (score desc, term asc)
+    tie-break shared with the SQL oracle; only the emitted score is
+    rounded.  Tokenization shares ``TOKEN_RE`` with every other text
+    op."""
+    from .util import auto_join_partitions, round_half_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_counts(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                t["text"], pattern=r"[^A-Za-z0-9]+", replacement=" "
+            ),
+            pattern=" ",
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        doc_ids = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            np.diff(lists.offsets.to_numpy(zero_copy_only=False)),
+        )
+        mask = pc.and_(pc.is_valid(flat), pc.greater(pc.utf8_length(flat), 0))
+        keep = mask.to_numpy(zero_copy_only=False)
+        pairs = pa.table({"doc_id": pa.array(doc_ids[keep]), "word": flat.filter(mask)})
+        g = pairs.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "word", "tf"])
+
+    tf = ds.map_batches(tf_counts, batch_format="pyarrow").materialize()
+    n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("word").aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n"])
+
+    df = (
+        tf.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(RSum("n", alias_name="df"))
+    )
+    joined = tf.join(
+        df,
+        join_type="inner",
+        num_partitions=auto_join_partitions(None, tf.count()),
+        on=("word",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["tf"].to_numpy(zero_copy_only=False) * np.log(
+            float(n_docs) / t["df"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "term": t["word"], "s": pa.array(s)}
+        )
+
+    def top(g: pa.Table) -> pa.Table:
+        s = g["s"].to_numpy(zero_copy_only=False)
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -s))[:topk]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"].take(pa.array(order)),
+                "term": g["term"].take(pa.array(order)),
+                "tfidf": pa.array(round_half_away(s[order], 4)),
+            }
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(top, batch_format="pyarrow")
+    )
+
+
+def doc_quality_pct_filter(sf_dir: str, pct: float = 0.2):
+    """Percentile-relative quality gate: keep documents whose rounded
+    alpha ratio is >= the corpus-wide ``pct`` quantile — the adaptive
+    variant of ``doc_quality_filter``'s fixed thresholds (data-quality
+    pipelines prefer "drop the worst X%" to absolute cutoffs because
+    the score distribution drifts with the crawl mix).
+
+    One text scan total: the scan emits (doc_id, alpha4) where alpha4
+    is rounded to 4 decimals — a BOUNDED domain of <= 10,001 values —
+    so the exact threshold comes from a value-count histogram whose
+    shuffle payload is domain-sized, row-count-independent (the
+    ``grouped_quantile`` plan, global).  The tiny histogram is pulled
+    to the driver (<= 10k rows, the same small-side contract as
+    ``broadcast_join``) to interpolate the DuckDB-``quantile_cont``
+    threshold; the filter then streams over the cached score table
+    without re-reading text."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scores(t: pa.Table) -> pa.Table:
+        n_alpha = pc.count_substring_regex(t["text"], r"[A-Za-z]")
+        denom = pc.cast(
+            pc.max_element_wise(
+                pc.utf8_length(t["text"]), pa.scalar(1, pa.int32())
+            ),
+            pa.float64(),
+        )
+        alpha = pc.divide(pc.cast(n_alpha, pa.float64()), denom)
+        alpha4 = pc.round(alpha, ndigits=4, round_mode="half_towards_infinity")
+        return pa.table({"doc_id": t["doc_id"], "alpha4": alpha4})
+
+    sc = ds.map_batches(scores, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("alpha4").aggregate([([], "count_all")])
+        return g.rename_columns(["alpha4", "n"])
+
+    hist = (
+        sc.map_batches(partial, batch_format="pyarrow")
+        .groupby("alpha4")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("alpha4")
+    )
+    vals = hist["alpha4"].to_numpy(np.float64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    pos = pct * (n - 1)
+    lo_i, hi_i = int(np.floor(pos)), int(np.ceil(pos))
+    v_lo = vals[np.searchsorted(cum, lo_i, side="right")]
+    v_hi = vals[np.searchsorted(cum, hi_i, side="right")]
+    thr = float(v_lo + (pos - lo_i) * (v_hi - v_lo))
+
+    return sc.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["alpha4"], pa.scalar(thr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

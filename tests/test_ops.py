@@ -609,3 +609,44 @@ class TestEventAndSampleOps:
             for q, name in ((0.5, "q50"), (0.95, "q95")):
                 exact = float(np.quantile(grp.o_totalprice, q))
                 assert abs(got.loc[prio, name] - exact) <= w
+
+    def test_doc_tfidf_top_terms_matches_naive(self):
+        import math
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_tfidf_top_terms
+
+        got = doc_tfidf_top_terms(SF).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        tok = re.compile(r"[A-Za-z0-9]+")
+        tfs = {r.doc_id: Counter(tok.findall(r.text)) for r in docs.itertuples()}
+        df = Counter(w for c in tfs.values() for w in c)
+        n = len(docs)
+        for doc_id, grp in got.groupby("doc_id"):
+            scored = sorted(
+                ((-c * math.log(n / df[w]), w) for w, c in tfs[doc_id].items())
+            )[:3]
+            want = [(w, round(-s, 4)) for s, w in scored]
+            have = list(zip(grp.term, grp.tfidf))
+            assert have == want, (doc_id, have, want)
+
+    def test_doc_quality_pct_filter_matches_naive(self):
+        import re
+
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_quality_pct_filter
+
+        got = doc_quality_pct_filter(SF, pct=0.2).to_pandas()
+        docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+        alpha = re.compile(r"[A-Za-z]")
+        a4 = docs.text.map(
+            lambda s: round(len(alpha.findall(s)) / max(len(s), 1), 4)
+        ).to_numpy()
+        thr = float(np.quantile(a4, 0.2))
+        want = set(docs.doc_id[a4 >= thr])
+        assert set(got.doc_id) == want
+        assert len(got) < len(docs)  # something was actually dropped
