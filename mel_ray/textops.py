@@ -739,10 +739,10 @@ def doc_tfidf_top_terms(sf_dir: str, topk: int = 3):
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         flat = lists.flatten()
-        doc_ids = np.repeat(
-            t["doc_id"].to_numpy(zero_copy_only=False),
-            np.diff(lists.offsets.to_numpy(zero_copy_only=False)),
-        )
+        # list_value_length (not offsets-diff): correct for zero-copy
+        # sliced batches, where .offsets still addresses the parent block
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
         mask = pc.and_(pc.is_valid(flat), pc.greater(pc.utf8_length(flat), 0))
         keep = mask.to_numpy(zero_copy_only=False)
         pairs = pa.table({"doc_id": pa.array(doc_ids[keep]), "word": flat.filter(mask)})
