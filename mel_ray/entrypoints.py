@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": annops.knn_ivf,
         "knn_quantized": annops.knn_quantized,
         "knn_ivf_capped": lambda sf: annops.knn_ivf(sf, max_per_label=20),
+        "knn_ivf_quantized": annops.knn_ivf_quantized,
         "knn_k_unique": annops.knn_k_unique,
         "emb_near_dupes": annops.emb_near_dupes,
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,

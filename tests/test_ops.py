@@ -50,6 +50,23 @@ class TestAnnOps:
         merged = exact.merge(quant, on=["query_id", "neighbor_id"], suffixes=("_e", "_q"))
         assert (abs(merged.cos_sim_e - merged.cos_sim_q) < 0.05).all()
 
+    def test_knn_ivf_quantized_recall_vs_ivf(self):
+        """IVF x int8 must match plain IVF's candidate quality: same
+        cells probed, so any recall gap is pure quantization error."""
+        from mel_ray.annops import knn_ivf, knn_ivf_quantized
+
+        ivf = knn_ivf(SF).to_pandas()
+        ivfq = knn_ivf_quantized(SF).to_pandas()
+        ivf_sets = ivf.groupby("query_id").neighbor_id.apply(set)
+        q_sets = ivfq.groupby("query_id").neighbor_id.apply(set)
+        recalls = [
+            len(q_sets.get(q, set()) & want) / len(want)
+            for q, want in ivf_sets.items()
+        ]
+        assert np.mean(recalls) >= 0.9, np.mean(recalls)
+        merged = ivf.merge(ivfq, on=["query_id", "neighbor_id"], suffixes=("_f", "_q"))
+        assert (abs(merged.cos_sim_f - merged.cos_sim_q) < 0.05).all()
+
     def test_emb_near_dupes_lsh_sound_and_recalls(self):
         """The banded scale path: every emitted pair is exactly verified
         (soundness = exact), and 8 bands x 3 sign-planes recall most of
