@@ -36,6 +36,8 @@ QUERY_SET = [
     "doc_minhash_lsh_pairs",
     "knn_bruteforce",
     "corpus_dup_groups",
+    "range_join",
+    "doc_tfidf_top_terms",
 ]
 
 
