@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": textops.doc_simhash_pairs,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
         "media_features": _media_features,
+        "media_real_features": _media_real_features,
         "media_resize": _media_resize,
         "media_frame_sample": _media_frame_sample,
         "knn_bruteforce": annops.knn_bruteforce,
@@ -112,7 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _media_features(sf_dir: str):
     """multimodal plumbing: synthetic binary media table -> actor-pool
-    feature extraction (decode stubbed; see stages/multimodal.py)."""
+    feature extraction (fake decoder for hash stability; media_real_features drives the real codecs)."""
     from .stages.multimodal import extract_media_features, synth_media_dataset
 
     out = extract_media_features(synth_media_dataset(64))
@@ -126,8 +127,26 @@ def _media_features(sf_dir: str):
     )
 
 
+def _media_real_features(sf_dir: str):
+    """the all-REAL codec path end to end: BMP images, WAV audio and
+    uncompressed-DIB AVI video are actually decoded (pure-NumPy codecs,
+    functions/codecs.py) before feature extraction — no fake decode
+    anywhere in this query."""
+    from .stages.multimodal import extract_media_features, synth_media_dataset
+
+    out = extract_media_features(
+        synth_media_dataset(64, real_codecs=True), decoder="real"
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["media_id", "kind", "width", "height", "sample_rate", "payload_len"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _media_resize(sf_dir: str):
-    """multimodal resize stage (codec stubbed; schema/metadata real)."""
+    """multimodal resize stage (fake decoder for hash stability; the real BMP path is tested in tests/test_ops.py)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -149,7 +168,7 @@ def _media_resize(sf_dir: str):
 
 
 def _media_frame_sample(sf_dir: str):
-    """multimodal frame-sampling stage (demux stubbed; flat_map real)."""
+    """multimodal frame-sampling stage (fake chunk demux for hash stability; the real AVI demux path is tested in tests/test_ops.py)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 

@@ -122,3 +122,111 @@ def decode_wav(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
         raise CodecError("WAV missing fmt/data chunk")
     samples = np.frombuffer(data[: (len(data) // (2 * n_ch)) * 2 * n_ch], dtype="<i2")
     return samples.reshape(-1, n_ch), int(rate)
+
+
+# --------------------------------------------------------------------------
+# AVI: RIFF container, uncompressed 24-bit DIB video frames ('DIB ' handler)
+# Public layout: MainAVIHeader ('avih') + AVISTREAMHEADER ('strh') +
+# BITMAPINFOHEADER ('strf') inside LIST 'hdrl', raw '00db' DIB chunks
+# inside LIST 'movi'.  Frames share BMP's pixel layout (bottom-up BGR
+# rows, 4-byte padding), so the demux reuses the BMP row math.
+# --------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(F, H, W, 3) uint8 RGB -> uncompressed AVI bytes (DIB frames)."""
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
+        raise CodecError("encode_avi expects (F, H, W, 3) uint8")
+    f, h, w, _ = frames.shape
+    if f == 0 or fps <= 0:
+        raise CodecError("encode_avi needs >= 1 frame and fps > 0")
+    row_bytes = (w * 3 + 3) & ~3
+    frame_size = row_bytes * h
+    rows = np.zeros((f, h, row_bytes), dtype=np.uint8)
+    rows[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(f, h, w * 3)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, f, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, f,
+        frame_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    strl = b"LIST" + struct.pack("<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))) \
+        + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi" + b"".join(chunk(b"00db", rows[i].tobytes()) for i in range(f))
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
+    """AVI bytes -> ((F, H, W, 3) uint8 RGB frames, fps).  Supports the
+    encoder's subset: one 'vids' stream of uncompressed 24-bit DIB
+    ('00db') frames."""
+    buf = bytes(payload)
+    if len(buf) < 24 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise CodecError("not an AVI payload")
+    w = h = None
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, fps
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_lo, body_hi = pos + 8, min(pos + 8 + size, hi)
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif cid == b"avih":
+                usec, _, _, _, _, _, _, _, aw, ah = struct.unpack(
+                    "<10I", buf[body_lo : body_lo + 40]
+                )
+                w, h = int(aw), int(ah)
+                if usec:
+                    fps = round(1_000_000 / usec)
+            elif cid == b"strh":
+                _, handler, _, _, _, _, scale, rate = struct.unpack(
+                    "<4s4sIHHIII", buf[body_lo : body_lo + 28]
+                )
+                if scale:
+                    fps = round(rate / scale)
+            elif cid == b"strf":
+                _, bw, bh, _, bpp, comp = struct.unpack(
+                    "<IiiHHI", buf[body_lo : body_lo + 20]
+                )
+                if bpp != 24 or comp != 0:
+                    raise CodecError(
+                        f"unsupported AVI stream (bpp={bpp}, compression={comp})"
+                    )
+            elif cid[2:4] in (b"db", b"dc"):
+                if w is None or h is None:
+                    raise CodecError("AVI frame chunk before header")
+                row_bytes = (w * 3 + 3) & ~3
+                if body_hi - body_lo < row_bytes * h:
+                    raise CodecError("truncated AVI frame")
+                rows = np.frombuffer(
+                    buf, dtype=np.uint8, count=row_bytes * h, offset=body_lo
+                ).reshape(h, row_bytes)
+                frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1])
+            pos += 8 + size + (size & 1)
+
+    try:
+        walk(12, len(buf))
+    except struct.error as e:
+        raise CodecError(f"truncated AVI header: {e}") from e
+    if not frames:
+        raise CodecError("AVI contains no decodable frames")
+    return np.ascontiguousarray(np.stack(frames)), int(fps)

@@ -4,12 +4,13 @@ Treats media as opaque ``binary`` columns with typed metadata, processed
 by actor-pool ``map_batches`` stages — the same stage shape as the
 bi-encoder embedder (reference T1, ``utils/embeddings.py:55-175``).
 
-Codecs: ``decoder="real"`` decodes BMP (24-bit) images and WAV (PCM16)
-audio with the pure-NumPy parsers in :mod:`mel_ray.functions.codecs` —
-no external libraries.  Video demux (a container format) still requires
-ffmpeg-class code and raises ``NotImplementedError`` at the demux call.
-``decoder="fake"`` keeps the deterministic content-derived pseudo decode
-used by the oracle-less driver queries (stable across codec changes).
+Codecs: ``decoder="real"`` decodes BMP (24-bit) images, WAV (PCM16)
+audio, and uncompressed-DIB AVI video with the pure-NumPy parsers in
+:mod:`mel_ray.functions.codecs` — no external libraries; compressed
+formats (JPEG/H.264/...) would plug into the same ``_decode_one`` /
+demux call sites.  ``decoder="fake"`` keeps the deterministic
+content-derived pseudo decode used by the oracle-less driver queries
+(stable across codec changes).
 """
 
 from __future__ import annotations
@@ -67,10 +68,9 @@ class MediaFeatureExtractor:
                 sig = samples.astype(np.float32).mean(axis=1)
                 stride = max(1, len(sig) // 4096)
                 return sig[::stride]
-            raise NotImplementedError(
-                "real video decode requires an ffmpeg-class demuxer; "
-                "BMP/WAV are handled by mel_ray.functions.codecs"
-            )
+            # video: per-frame mean luma — one signal sample per frame
+            frames, _ = codecs.decode_avi(payload)
+            return frames.astype(np.float32).mean(axis=(1, 2, 3))
         # deterministic fake decode: stride-sampled bytes as the "signal"
         raw = np.frombuffer(payload, dtype=np.uint8)
         if len(raw) == 0:
@@ -175,8 +175,9 @@ class MediaResizer:
 
 class FrameSampler:
     """Actor-pool frame-sampling stage (video): payload -> one row per
-    sampled frame (flat_map row expansion, M4 shape).  The demuxer
-    (ffmpeg) is stubbed: the fake path treats the payload as
+    sampled frame (flat_map row expansion, M4 shape).  ``decoder="real"``
+    demuxes uncompressed-DIB AVI and re-encodes each sampled frame as a
+    standalone BMP payload; the fake path treats the payload as
     ``n_frames`` equal chunks and emits every ``step``-th chunk."""
 
     def __init__(self, n_frames: int = 16, step: int = 4, decoder: str = "fake"):
@@ -185,8 +186,26 @@ class FrameSampler:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.decoder == "real":
-            raise NotImplementedError(
-                "real frame sampling requires ffmpeg; plug the demux call here"
+            from ..functions import codecs
+
+            payloads = batch["payload"]
+            if isinstance(payloads, pa.ChunkedArray):
+                payloads = payloads.combine_chunks()
+            row_of, fidx, out = [], [], []
+            for i in range(len(batch)):  # demux is inherently per-row
+                frames, _ = codecs.decode_avi(payloads[i].as_buffer())
+                for f in range(0, min(len(frames), self.n_frames), self.step):
+                    row_of.append(i)
+                    fidx.append(f)
+                    out.append(codecs.encode_bmp(frames[f]))
+            take = pa.array(np.asarray(row_of, dtype=np.int64))
+            return pa.table(
+                {
+                    "media_id": pc.take(batch["media_id"], take),
+                    "kind": pc.take(batch["kind"], take),
+                    "frame_index": pa.array(np.asarray(fidx, np.int32)),
+                    "frame": pa.array(out, pa.large_binary()),
+                }
             )
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
@@ -240,11 +259,12 @@ def extract_media_features(
     feature_dim: int = 64,
     batch_size: int = 64,
     concurrency: int = 2,
+    decoder: str = "fake",
 ) -> "ray.data.Dataset":
     """The stage wiring: small batches (large binary rows), actor pool."""
     return media.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_args=(feature_dim,),
+        fn_constructor_args=(feature_dim, decoder),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -257,9 +277,10 @@ def extract_media_features(
 def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -> "ray.data.Dataset":
     """Deterministic synthetic media table in MEDIA_SCHEMA (for tests and
     the ``media_features`` query; no external data).  With
-    ``real_codecs=True``, image rows carry valid BMP payloads and audio
-    rows valid WAV payloads (video keeps raw bytes — its demux stays
-    stubbed), so ``decoder="real"`` stages run end-to-end."""
+    ``real_codecs=True``, image rows carry valid BMP payloads, audio
+    rows valid WAV payloads, and video rows valid uncompressed-DIB AVI
+    payloads, so ``decoder="real"`` stages run end-to-end for all three
+    kinds."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
     if real_codecs:
@@ -276,7 +297,13 @@ def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -
                 samples = (rng.randn(int(rng.randint(64, 2048))) * 8192).astype(np.int16)
                 payloads.append(codecs.encode_wav(samples, 16000))
             else:
-                payloads.append(rng.bytes(int(rng.randint(256, 4096))))
+                nf = int(rng.randint(2, 9))
+                w, h = int(rng.randint(4, 17)), int(rng.randint(4, 17))
+                payloads.append(
+                    codecs.encode_avi(
+                        rng.randint(0, 256, (nf, h, w, 3)).astype(np.uint8), fps=10
+                    )
+                )
     else:
         payloads = [rng.bytes(int(rng.randint(256, 4096))) for _ in range(n)]
     tbl = pa.table(

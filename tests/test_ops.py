@@ -382,12 +382,36 @@ class TestMultimodal:
         b = {r["media_id"]: tuple(np.round(r["features"], 6)) for r in out2}
         assert a == b
 
-    def test_real_video_demux_still_raises(self):
-        from mel_ray.stages.multimodal import MediaFeatureExtractor
+    def test_real_video_decode_and_frame_sampling(self):
+        """AVI roundtrip is exact; decoder="real" feature signal is the
+        per-frame luma mean; FrameSampler emits BMPs that decode back to
+        the original sampled frames."""
+        from mel_ray.functions.codecs import decode_avi, decode_bmp, encode_avi
+        from mel_ray.stages.multimodal import FrameSampler, MediaFeatureExtractor
+
+        rng = np.random.RandomState(3)
+        frames = rng.randint(0, 256, (6, 8, 5, 3)).astype(np.uint8)
+        payload = encode_avi(frames, fps=12)
+        back, fps = decode_avi(payload)
+        assert (back == frames).all() and fps == 12
 
         ex = MediaFeatureExtractor(decoder="real")
-        with pytest.raises(NotImplementedError):
-            ex._decode_one(memoryview(b"xxxx"), "video")
+        sig = ex._decode_one(memoryview(payload), "video")
+        want = frames.astype(np.float32).mean(axis=(1, 2, 3))
+        assert np.allclose(sig, want)
+
+        batch = pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "kind": pa.array(["video"]),
+                "payload": pa.array([payload], pa.large_binary()),
+            }
+        )
+        out = FrameSampler(n_frames=16, step=2, decoder="real")(batch)
+        got_idx = out["frame_index"].to_pylist()
+        assert got_idx == [0, 2, 4]
+        for j, f in enumerate(got_idx):
+            assert (decode_bmp(out["frame"][j].as_buffer()) == frames[f]).all()
 
     def test_codec_roundtrips(self):
         """Pure-NumPy BMP and WAV encode/decode are exact inverses."""
@@ -417,12 +441,10 @@ class TestMultimodal:
 
     def test_real_decode_feature_stage_end_to_end(self):
         """decoder="real" runs the full actor-pool stage over valid
-        BMP/WAV payloads (video rows excluded: demux stays stubbed)."""
+        BMP/WAV/AVI payloads — all three media kinds decode for real."""
         from mel_ray.stages.multimodal import MediaFeatureExtractor, synth_media_dataset
 
-        ds = synth_media_dataset(24, real_codecs=True).filter(
-            lambda r: r["kind"] != "video"
-        )
+        ds = synth_media_dataset(24, real_codecs=True)
         out = ds.map_batches(
             MediaFeatureExtractor,
             fn_constructor_args=(16, "real"),
@@ -431,7 +453,7 @@ class TestMultimodal:
             concurrency=2,
             num_cpus=0.5,
         ).take_all()
-        assert len(out) >= 8
+        assert len(out) == 24
         for r in out:
             f = np.asarray(r["features"])
             assert f.shape == (16,) and abs(np.linalg.norm(f) - 1.0) < 1e-3
