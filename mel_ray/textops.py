@@ -818,10 +818,9 @@ def doc_quality_pct_filter(sf_dir: str, pct: float = 0.2):
 
     def scores(t: pa.Table) -> pa.Table:
         n_alpha = pc.count_substring_regex(t["text"], r"[A-Za-z]")
+        n_chars = pc.utf8_length(t["text"])
         denom = pc.cast(
-            pc.max_element_wise(
-                pc.utf8_length(t["text"]), pa.scalar(1, pa.int32())
-            ),
+            pc.max_element_wise(n_chars, pa.scalar(1, n_chars.type)),
             pa.float64(),
         )
         alpha = pc.divide(pc.cast(n_alpha, pa.float64()), denom)
