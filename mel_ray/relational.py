@@ -551,9 +551,7 @@ def range_join(
 
     def probe(t: pa.Table) -> pa.Table:
         x = t["o_totalprice"].to_numpy(zero_copy_only=False)
-        b_end = np.searchsorted(los, x, side="right") - 1  # max b: lo_b <= x
-        b_start = np.searchsorted(his, x, side="right")  # min b: x < hi_b
-        counts = np.maximum(b_end - b_start + 1, 0)
+        b_start, counts = interval_probe(x, los, his)
         total = int(counts.sum())
         if total == 0:
             return pa.table(
@@ -588,6 +586,22 @@ def range_join(
         .sort("band_id")
     )
     return out.map_batches(_round_cols(["sum_price"]), batch_format="pyarrow")
+
+
+def interval_probe(
+    x: np.ndarray, los: np.ndarray, his: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per row: the contiguous run of intervals matching
+    ``lo <= x < hi``, as ``(first_index, count)``.
+
+    Two ``searchsorted`` probes per batch — the EXACT ``>=`` / ``<``
+    comparisons a SQL range join uses, no float-division boundary risk.
+    Requires ``los`` and ``his`` each sorted ascending (true for sliding
+    bands; arbitrary interval sets would grid-bin first), which makes
+    every row's matching set a contiguous index run."""
+    b_end = np.searchsorted(los, x, side="right") - 1  # max b: lo_b <= x
+    b_start = np.searchsorted(his, x, side="right")  # min b: x < hi_b
+    return b_start, np.maximum(b_end - b_start + 1, 0)
 
 
 # --- A11b: approx grouped quantile for CONTINUOUS domains ------------------

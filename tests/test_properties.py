@@ -144,3 +144,50 @@ class TestMinhashProperties:
             v1, off1 = word_ngram_hashes(pa.array([t], pa.string()), n=2)
             sig1 = minhash_signature(v1, off1, 32)
             assert (sig[i] == sig1[0]).all()
+
+
+class TestIntervalAndQuantileProperties:
+    @given(
+        st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=200),
+        st.integers(1, 40),
+        st.floats(1.0, 1e4),
+        st.floats(0.0, 3e4),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_interval_probe_matches_naive_masks(self, xs, nbands, step, width):
+        """searchsorted probe == the O(n·K) per-interval boolean mask."""
+        from mel_ray.relational import interval_probe
+
+        x = np.asarray(xs, dtype=np.float64)
+        los = np.arange(nbands, dtype=np.float64) * step
+        his = los + width
+        b_start, counts = interval_probe(x, los, his)
+        for b in range(nbands):
+            want = (x >= los[b]) & (x < his[b])
+            got = (b_start <= b) & (b < b_start + counts)
+            assert (want == got).all(), (b, los[b], his[b])
+
+    @given(
+        st.lists(st.integers(0, 50), min_size=1, max_size=100),
+        st.floats(0.0, 1.0, allow_nan=False),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_histogram_quantile_matches_numpy(self, values, q):
+        """interp over a (value, count) histogram == np.quantile over the
+        expanded multiset (DuckDB quantile_cont semantics)."""
+        from mel_ray.relational import _interp_quantiles
+
+        fn = _interp_quantiles("k", "v", ((q, "out"),))
+        g = pa.table(
+            {
+                "k": ["g"] * len(set(values)),
+                "v": sorted({float(v) for v in values}),
+                "n": [values.count(v) for v in sorted(set(values))],
+            }
+        )
+        got = fn(g)["out"][0].as_py()
+        expanded = np.asarray(sorted(float(v) for v in values))
+        from mel_ray.util import round_half_away
+
+        want = float(round_half_away(np.quantile(expanded, q), 4))
+        assert got == want, (got, want, values, q)
