@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": relational.anti_join,
         "union_distinct": relational.union_distinct,
         "sort_limit": relational.sort_limit,
+        "topk_global": relational.topk_global,
         "per_key_cap": relational.per_key_cap,
         "distinct_count": relational.distinct_count,
         "approx_distinct_count": relational.approx_distinct_count,
@@ -288,6 +289,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "topk_global": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
         """,

@@ -241,6 +241,29 @@ def sort_limit(sf_dir: str, n: int = 10):
     return top
 
 
+def topk_global(sf_dir: str, n: int = 10):
+    """Exact global top-n WITHOUT a global sort: per-batch local top-n
+    (a combiner — the exchange then carries at most n rows per block
+    instead of every row), one tiny single-block merge at the end.
+    ``sort_limit`` keeps the full range-partitioned sort for when a
+    totally ordered OUTPUT is the semantic (O3); this is the right plan
+    when only the head is needed — at 100 TB the difference is an
+    all-to-all shuffle vs a kilobyte collect."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def top(t: pa.Table) -> pa.Table:
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((key, -price))[:n]
+        return pa.table(
+            {"o_orderkey": pa.array(key[idx]), "o_totalprice": pa.array(price[idx])}
+        )
+
+    local = ds.map_batches(top, batch_format="pyarrow", zero_copy_batch=True)
+    # all surviving candidates (<= n per block) fit one block
+    return local.repartition(1).map_batches(top, batch_format="pyarrow")
+
+
 # --- O10: per-key cap ------------------------------------------------------
 def per_key_cap(sf_dir: str, cap: int = 2):
     """<= cap lineitems per order, in linenumber order (max_per_qid cap,

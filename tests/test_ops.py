@@ -689,3 +689,10 @@ class TestEventAndSampleOps:
         want = set(docs.doc_id[a4 >= thr])
         assert set(got.doc_id) == want
         assert len(got) < len(docs)  # something was actually dropped
+
+    def test_topk_global_equals_full_sort(self):
+        from mel_ray.relational import sort_limit, topk_global
+
+        a = topk_global(SF, n=10).to_pandas()
+        b = sort_limit(SF, n=10).to_pandas()
+        assert a.values.tolist() == b.values.tolist()
