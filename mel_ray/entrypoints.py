@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct": relational.union_distinct,
         "sort_limit": relational.sort_limit,
         "topk_global": relational.topk_global,
+        "sorted_neighborhood_pairs": relational.sorted_neighborhood_pairs,
         "per_key_cap": relational.per_key_cap,
         "distinct_count": relational.distinct_count,
         "approx_distinct_count": relational.approx_distinct_count,
@@ -295,6 +296,16 @@ def oracle_sql() -> dict[str, str]:
         "topk_global": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "sorted_neighborhood_pairs": """
+            WITH ranked AS (
+              SELECT c_custkey,
+                     row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+              FROM customer)
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn <= a.rn + 4
         """,
         "per_key_cap": """
             SELECT l_orderkey, l_linenumber, l_quantity FROM (

@@ -694,3 +694,77 @@ def _interp_quantiles(key_col: str, val_col: str, qs):
         return pa.table(out)
 
     return quantiles
+
+
+# --- ER blocking family: sorted-neighborhood -------------------------------
+def sorted_neighborhood_pairs(sf_dir: str, w: int = 5):
+    """Sorted-neighborhood blocking — the OTHER classic entity-resolution
+    blocking family next to LSH banding (Hernandez-Stolfo merge/purge):
+    sort by a blocking key and emit candidate pairs within a sliding
+    window of ``w`` consecutive records.
+
+    Ray plan: range-partitioned sort → materialized ordered blocks →
+    one task per block, each fetching its OWN block plus the first
+    ``w−1`` rows borrowed from the following block(s), so window pairs
+    crossing block boundaries are emitted exactly once and the pair set
+    is byte-identical to the SQL ``row_number()`` formulation.  Work
+    per task is O(block·w); nothing global ever assembles."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).sort(
+        ["c_acctbal", "c_custkey"]
+    )
+    refs = ds.materialize().to_arrow_refs()
+    nb = len(refs)
+    tasks = ray.data.from_arrow(
+        pa.table({"b": pa.array(np.arange(nb, dtype=np.int64))})
+    ).repartition(max(2, min(nb, 16)))
+
+    class WindowPairs:
+        def __init__(self, refs, w):
+            self.refs, self.w = list(refs), w
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_a, out_b, out_d = [], [], []
+            for b in t["b"].to_numpy():
+                b = int(b)
+                keys = ray.get(self.refs[b])["c_custkey"].to_numpy().astype(np.int64)
+                n_own = len(keys)
+                if n_own == 0:
+                    continue
+                # borrow the next w-1 rows, spanning blocks if they are tiny
+                need, nxt, borrowed = self.w - 1, b + 1, []
+                while need > 0 and nxt < len(self.refs):
+                    ks = ray.get(self.refs[nxt])["c_custkey"].to_numpy().astype(np.int64)
+                    borrowed.append(ks[:need])
+                    need -= min(need, len(ks))
+                    nxt += 1
+                aug = np.concatenate([keys] + borrowed) if borrowed else keys
+                for j in range(1, self.w):
+                    m = min(n_own, len(aug) - j)
+                    if m <= 0:
+                        break
+                    out_a.append(aug[:m])
+                    out_b.append(aug[j : j + m])
+                    out_d.append(np.full(m, j, dtype=np.int64))
+            if not out_a:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "dist": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "id_a": pa.array(np.concatenate(out_a)),
+                    "id_b": pa.array(np.concatenate(out_b)),
+                    "dist": pa.array(np.concatenate(out_d)),
+                }
+            )
+
+    return tasks.map_batches(
+        WindowPairs,
+        fn_constructor_args=(refs, w),
+        batch_format="pyarrow",
+        concurrency=2,
+        num_cpus=0.5,
+    )

@@ -696,3 +696,17 @@ class TestEventAndSampleOps:
         a = topk_global(SF, n=10).to_pandas()
         b = sort_limit(SF, n=10).to_pandas()
         assert a.values.tolist() == b.values.tolist()
+
+    def test_sorted_neighborhood_window_structure(self):
+        import pyarrow.parquet as pq
+
+        from mel_ray.relational import sorted_neighborhood_pairs
+
+        w = 5
+        got = sorted_neighborhood_pairs(SF, w=w).to_pandas()
+        n = pq.read_metadata(f"{SF}/customer.parquet").num_rows
+        # exactly (w-1)*n - w*(w-1)/2 window pairs over the sorted order
+        assert len(got) == (w - 1) * n - w * (w - 1) // 2
+        # every rank distance 1..w-1 appears; pairs are unique
+        assert sorted(got.dist.unique()) == list(range(1, w))
+        assert not got.duplicated(["id_a", "id_b"]).any()
