@@ -124,3 +124,60 @@ def _run(sf_dir: str):
 
         _CACHE[key] = run_linkage(_corpus_files(sf_dir), LinkageConfig())
     return _CACHE[key]
+
+
+def blocking_quality(sf_dir: str):
+    """Standard ER blocking evaluation (the two numbers a blocking
+    method is judged by in the record-linkage literature): REDUCTION
+    RATIO = 1 − |candidates| / C(n,2), and PAIR COMPLETENESS = the share
+    of labeled true matches present in the candidate set.  Candidates =
+    the flagship's verified pairs (already canonical id_a < id_b);
+    membership of the labeled positives is checked by a two-column
+    inner join — distributed, never a driver-side set."""
+    from .util import auto_join_partitions
+    from .stages.scoring import JOIN_AGG_ARGS
+
+    res = _run(sf_dir)
+    corpus = ensure_corpus(sf_dir)
+    lp = read_parquet_clean(str(corpus / "labeled_pairs.parquet"))
+
+    def canon_pos(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        keep = t["is_match"].to_numpy(zero_copy_only=False)
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {"id_a": pa.array(np.minimum(a, b)), "id_b": pa.array(np.maximum(a, b))}
+        )
+
+    pos = lp.map_batches(canon_pos, batch_format="pyarrow").materialize()
+    n_pos = pos.count()
+    cand = res.scored_pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+    n_cand = cand.count()
+    n_rec = res.clusters.count()
+    matched = pos.join(
+        cand,
+        join_type="inner",
+        num_partitions=auto_join_partitions(None, n_pos),
+        on=("id_a", "id_b"),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    ).count()
+    total_pairs = n_rec * (n_rec - 1) // 2
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "n_records": n_rec,
+                "n_candidates": n_cand,
+                "n_labeled_matches": n_pos,
+                "matches_covered": matched,
+                "reduction_ratio": round(1.0 - n_cand / max(total_pairs, 1), 6),
+                "pair_completeness": round(matched / max(n_pos, 1), 6),
+            }
+        ]
+    )

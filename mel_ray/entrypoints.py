@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": corpusops.linkage_clusters,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "linkage_f1_metrics": corpusops.linkage_f1_metrics,
+        "blocking_quality": corpusops.blocking_quality,
         "cluster_size_hist": corpusops.cluster_size_hist,
         "cluster_reps": corpusops.cluster_reps,
     }

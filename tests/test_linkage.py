@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import collections
 
+import numpy as np
+
 import pyarrow.parquet as pq
 import pytest
 
@@ -76,3 +78,29 @@ class TestLinkagePipeline:
         for r in accepted[:500]:
             j = exact_jaccard(v, off, row_of[r["id_a"]], row_of[r["id_b"]])
             assert j > 0.35, (r, j)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_blocking_quality_matches_naive():
+    import pyarrow.parquet as pq
+
+    from mel_ray.corpusops import blocking_quality, linkage_scored_pairs
+    from mel_ray.synth import ensure_corpus
+
+    sf = "/root/testdata/sf0.001"
+    got = blocking_quality(sf).iloc[0]
+    corpus = ensure_corpus(sf)
+    lp = pq.read_table(str(corpus / "labeled_pairs.parquet")).to_pandas()
+    pos = lp[lp.is_match]
+    pos_keys = set(zip(np.minimum(pos.id_a, pos.id_b), np.maximum(pos.id_a, pos.id_b)))
+    cand = linkage_scored_pairs(sf).to_pandas()
+    cand_keys = set(zip(cand.id_a, cand.id_b))
+    n = got["n_records"]
+    assert got["n_candidates"] == len(cand_keys)
+    assert got["n_labeled_matches"] == len(pos_keys)
+    assert got["matches_covered"] == len(pos_keys & cand_keys)
+    assert got["reduction_ratio"] == round(1 - len(cand_keys) / (n * (n - 1) / 2), 6)
+    assert got["pair_completeness"] == round(len(pos_keys & cand_keys) / len(pos_keys), 6)
+    # the flagship's blocking must be both sharp and complete
+    assert got["reduction_ratio"] > 0.99
+    assert got["pair_completeness"] >= 0.99
