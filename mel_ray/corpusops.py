@@ -181,3 +181,77 @@ def blocking_quality(sf_dir: str):
             }
         ]
     )
+
+
+def fs_weights(sf_dir: str):
+    """Fellegi-Sunter agreement weights — the probabilistic
+    record-linkage classic: for each comparison feature, m = P(agree |
+    match) and u = P(agree | non-match) over the LABELED candidate
+    pairs, and the log2(m/u) match weight a scoring rule would assign.
+    One two-column join attaches labels to the flagship's scored pairs;
+    counts reduce through per-batch partial sums (six int64s per batch)
+    — nothing driver-side.  Output: one row per feature."""
+    import numpy as np
+
+    from .stages.scoring import JOIN_AGG_ARGS
+    from .util import auto_join_partitions
+    from ray.data.aggregate import Sum as _Sum
+
+    res = _run(sf_dir)
+    corpus = ensure_corpus(sf_dir)
+    lp = read_parquet_clean(str(corpus / "labeled_pairs.parquet"))
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(a, b)),
+                "id_b": pa.array(np.maximum(a, b)),
+                "is_match": t["is_match"],
+            }
+        )
+
+    labels = lp.map_batches(canon, batch_format="pyarrow").materialize()
+    j = labels.join(
+        res.scored_pairs,
+        join_type="inner",
+        num_partitions=auto_join_partitions(None, labels.count()),
+        on=("id_a", "id_b"),
+        aggregator_ray_remote_args=JOIN_AGG_ARGS,
+    )
+
+    AGREE = (("est_jaccard", 0.7), ("cosine", 0.5), ("path_jw", 0.9), ("repo_jw", 0.9))
+
+    def partial(t: pa.Table) -> pa.Table:
+        gold = t["is_match"].to_numpy(zero_copy_only=False)
+        cols = {
+            "n_match": pa.array([int(gold.sum())]),
+            "n_non": pa.array([int((~gold).sum())]),
+        }
+        for name, thr in AGREE:
+            agree = t[name].to_numpy(zero_copy_only=False) >= thr
+            cols[f"am_{name}"] = pa.array([int((agree & gold).sum())])
+            cols[f"au_{name}"] = pa.array([int((agree & ~gold).sum())])
+        return pa.table(cols)
+
+    aggs = [_Sum("n_match"), _Sum("n_non")]
+    for name, _ in AGREE:
+        aggs += [_Sum(f"am_{name}"), _Sum(f"au_{name}")]
+    tot = j.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+    n_match = max(int(tot["sum(n_match)"] or 0), 1)
+    n_non = max(int(tot["sum(n_non)"] or 0), 1)
+    rows = []
+    for name, thr in AGREE:
+        m = max(int(tot[f"sum(am_{name})"] or 0), 0) / n_match
+        u = max(int(tot[f"sum(au_{name})"] or 0), 0) / n_non
+        rows.append(
+            {
+                "feature": name,
+                "threshold": thr,
+                "m": round(m, 6),
+                "u": round(u, 6),
+                "weight": round(float(np.log2(max(m, 1e-6) / max(u, 1e-6))), 4),
+            }
+        )
+    return pd.DataFrame(rows)

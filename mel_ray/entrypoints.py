@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "linkage_f1_metrics": corpusops.linkage_f1_metrics,
         "blocking_quality": corpusops.blocking_quality,
+        "fs_weights": corpusops.fs_weights,
         "cluster_size_hist": corpusops.cluster_size_hist,
         "cluster_reps": corpusops.cluster_reps,
     }

@@ -104,3 +104,32 @@ def test_blocking_quality_matches_naive():
     # the flagship's blocking must be both sharp and complete
     assert got["reduction_ratio"] > 0.99
     assert got["pair_completeness"] >= 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fs_weights_matches_naive():
+    import pyarrow.parquet as pq
+
+    from mel_ray.corpusops import fs_weights, linkage_scored_pairs
+    from mel_ray.synth import ensure_corpus
+
+    sf = "/root/testdata/sf0.001"
+    got = fs_weights(sf).set_index("feature")
+    corpus = ensure_corpus(sf)
+    lp = pq.read_table(str(corpus / "labeled_pairs.parquet")).to_pandas()
+    lp["id_a"], lp["id_b"] = (
+        np.minimum(lp.id_a, lp.id_b),
+        np.maximum(lp.id_a, lp.id_b),
+    )
+    cand = linkage_scored_pairs(sf).to_pandas()
+    j = lp.merge(cand, on=["id_a", "id_b"], how="inner")
+    n_m = max(int(j.is_match.sum()), 1)
+    n_u = max(int((~j.is_match).sum()), 1)
+    for name, thr in (("est_jaccard", 0.7), ("cosine", 0.5), ("path_jw", 0.9)):
+        agree = j[name] >= thr
+        m = round(int((agree & j.is_match).sum()) / n_m, 6)
+        u = round(int((agree & ~j.is_match).sum()) / n_u, 6)
+        assert got.loc[name, "m"] == pytest.approx(m, abs=2e-6)
+        assert got.loc[name, "u"] == pytest.approx(u, abs=2e-6)
+    # a discriminative feature separates matches from non-matches
+    assert got.loc["est_jaccard", "m"] > got.loc["est_jaccard", "u"]
