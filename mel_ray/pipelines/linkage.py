@@ -120,7 +120,10 @@ def run_linkage(
     )
     comp = ckpt.through("components", lambda: C.connected_components(edges, cfg.clustering))
 
-    slim = records.map_batches(
+    # derive the slim id table from the MATERIALIZED features — `records`
+    # is lazy, so selecting from it here would re-execute the entire
+    # ingest scan (read + sha256 + remap) inside the clusters stage
+    slim = features.map_batches(
         lambda t: t.select(["record_id", "repo", "path", "sha256"]), batch_format="pyarrow"
     )
     clusters = ckpt.through(

@@ -70,6 +70,11 @@ def featurize_batch(batch: pa.Table, cfg: BlockingConfig, embed_dim: int, embed_
             "record_id": batch["record_id"],
             "repo": batch["repo"],
             "path": batch["path"],
+            # sha256 rides the features table (64B/row next to 1KB of
+            # sig+emb) so the cluster-assign stage reads it from the
+            # MATERIALIZED features instead of re-executing the whole
+            # ingest scan; every downstream join projects it away.
+            "sha256": batch["sha256"],
             "sig": _binary_rows(np.ascontiguousarray(sig32)),
             "emb": _binary_rows(np.ascontiguousarray(emb.astype(np.float16))),
         }

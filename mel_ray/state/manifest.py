@@ -51,7 +51,7 @@ def _input_fingerprint(paths: list[str]) -> str:
 # silently restored with the wrong decode.
 # v3: partitioned stages write part-{pid} subdirectories + journal.jsonl
 #     (and keep_stats pair checkpoints carry accounting columns).
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 class StageCheckpointer:

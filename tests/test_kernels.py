@@ -252,6 +252,7 @@ def test_content_window_bounds_featurize_work():
             "record_id": pa.array([1, 2], pa.int64()),
             "repo": pa.array(["r", "r"]),
             "path": pa.array(["a.py", "b.py"]),
+            "sha256": pa.array(["s1", "s2"]),
             "content": pa.array([big, big[: len(head)]]),
         }
     )
