@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_heavy_hitter_words": textops.doc_heavy_hitter_words,
         "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         "doc_quality_pct_filter": textops.doc_quality_pct_filter,
-        # --- similarity search over embeddings ---
+        # --- bounded event-time / sampling / quantiles / range join ---
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
         "sliding_window_counts": streamops.sliding_window_counts,
@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mask_stopwords": textops.doc_mask_stopwords,
         "doc_simhash_pairs": textops.doc_simhash_pairs,
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
+        # --- multimodal + similarity search over embeddings ---
         "media_features": _media_features,
         "media_real_features": _media_real_features,
         "media_resize": _media_resize,
