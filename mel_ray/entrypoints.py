@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": relational.semi_join,
         "anti_join": relational.anti_join,
         "union_distinct": relational.union_distinct,
+        "intersect_distinct": relational.intersect_distinct,
+        "except_distinct": relational.except_distinct,
         "sort_limit": relational.sort_limit,
         "topk_global": relational.topk_global,
         "sorted_neighborhood_pairs": relational.sorted_neighborhood_pairs,
@@ -284,6 +286,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderpriority = '1-URGENT')
+        """,
+        "intersect_distinct": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        """,
+        "except_distinct": """
+            SELECT DISTINCT l_partkey AS partkey FROM lineitem
+            EXCEPT
+            SELECT DISTINCT p_partkey AS partkey FROM part
+            WHERE p_retailprice >= 1500.0
         """,
         "union_distinct": """
             SELECT nationkey, count(*) AS n_refs FROM (

@@ -18,7 +18,7 @@ import ray
 import ray.data
 
 from .util import read_parquet_clean
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from .util import auto_join_partitions, round_half_away
 
@@ -767,4 +767,79 @@ def sorted_neighborhood_pairs(sf_dir: str, w: int = 5):
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=0.5,
+    )
+
+
+# --- D-family completion: distinct set operations ---------------------------
+def _tagged_sides(ds_a, col_a: str, ds_b, col_b: str, out: str):
+    """Tagged distinct-key union — the shared plan for INTERSECT /
+    EXCEPT: per-batch distinct + side flags (combiner), one key-sized
+    groupby of (max in_a, max in_b)."""
+
+    def tag(col: str, in_a: int):
+        def f(t: pa.Table) -> pa.Table:
+            keys = pc.unique(
+                t[col].combine_chunks()
+                if isinstance(t[col], pa.ChunkedArray)
+                else t[col]
+            )
+            n = len(keys)
+            return pa.table(
+                {
+                    out: pc.cast(keys, pa.int64()),
+                    "in_a": pa.array(np.full(n, in_a, np.int64)),
+                    "in_b": pa.array(np.full(n, 1 - in_a, np.int64)),
+                }
+            )
+
+        return f
+
+    a = ds_a.map_batches(tag(col_a, 1), batch_format="pyarrow")
+    b = ds_b.map_batches(tag(col_b, 0), batch_format="pyarrow")
+    return (
+        a.union(b)
+        .groupby(out)
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+
+def intersect_distinct(sf_dir: str):
+    """DISTINCT INTERSECT (D family): nations present among BOTH
+    customers and suppliers — distinct keys never leave their batch
+    untagged, and the only exchange is key-sized."""
+    sides = _tagged_sides(
+        _read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey",
+        _read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey",
+        "nationkey",
+    )
+    return sides.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["in_a"], 1), pc.equal(t["in_b"], 1))
+        ).select(["nationkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def except_distinct(sf_dir: str, price: float = 1500.0):
+    """DISTINCT EXCEPT (D family): ordered partkeys that are NOT among
+    the expensive parts (p_retailprice >= price).  Same tagged-union
+    plan as ``intersect_distinct``, on a high-cardinality key — and a
+    non-empty result by construction (an empty Ray Dataset loses its
+    schema, which the driver's compare rejects)."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_retailprice"], price)).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    sides = _tagged_sides(
+        _read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
+        parts, "p_partkey",
+        "partkey",
+    )
+    return sides.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["in_a"], 1), pc.equal(t["in_b"], 0))
+        ).select(["partkey"]),
+        batch_format="pyarrow",
     )
