@@ -92,23 +92,24 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
             q = t["query_id"].to_numpy()
             qi = np.searchsorted(self.ids, q)
             idx, sims = topk_cosine(self.unit[qi], self.unit, k + 1)
-            out_q, out_n, out_s = [], [], []
-            for row, qq in enumerate(qi):
-                cnt = 0
-                for j, s in zip(idx[row], sims[row]):
-                    if j == qq:
-                        continue
-                    out_q.append(self.ids[qq])
-                    out_n.append(self.ids[j])
-                    out_s.append(s)
-                    cnt += 1
-                    if cnt == k:
-                        break
+            # drop each query's self-match and keep its first k survivors,
+            # fully vectorized: a stable argsort on the keep-mask floats
+            # True-columns to the front without reordering them (the
+            # masked-lexsort idiom of _partitioned_search)
+            kk = min(k, max(idx.shape[1] - 1, 0))
+            mask = idx != qi[:, None]
+            front = np.argsort(~mask, axis=1, kind="stable")[:, :kk]
+            nbr = np.take_along_axis(idx, front, axis=1)
+            sim = np.take_along_axis(sims, front, axis=1)
+            valid = np.take_along_axis(mask, front, axis=1).ravel()
+            out_q = np.repeat(self.ids[qi], kk)[valid]
+            out_n = self.ids[nbr.ravel()[valid]]
+            out_s = sim.ravel()[valid]
             return pa.table(
                 {
-                    "query_id": pa.array(np.asarray(out_q, np.int64)),
-                    "neighbor_id": pa.array(np.asarray(out_n, np.int64)),
-                    "cos_sim": pa.array(round_half_away(np.asarray(out_s, np.float64), 4)),
+                    "query_id": pa.array(out_q.astype(np.int64)),
+                    "neighbor_id": pa.array(out_n.astype(np.int64)),
+                    "cos_sim": pa.array(round_half_away(out_s, 4)),
                 }
             )
 

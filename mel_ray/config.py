@@ -40,6 +40,11 @@ class ScoringConfig:
     cosine_accept: float = 0.60
     batch_size: int = 8192
     concurrency: int | None = None  # scorer actor-pool size; None = cpus//4
+    # GPUs reserved per scorer actor (T1: the reference's embedder runs a
+    # real transformer on GPU, utils/embeddings.py:55-123; this sandbox is
+    # CPU-only so the default is 0.0 = no change, but the actor-pool stage
+    # is configuration-complete for a GPU-backed scorer/embedder swap).
+    num_gpus: float = 0.0
     # Feature tables at or below this many rows are BROADCAST into the
     # pair-scoring stage (ray.put once, searchsorted lookup per batch —
     # zero shuffle; the Spark autoBroadcastJoinThreshold idea).  Above
@@ -59,6 +64,11 @@ class ClusteringConfig:
     # is orders of magnitude smaller than the corpus, so even 100 TB
     # inputs may fit; raise/lower to taste, 0 forces the distributed path.
     small_graph_limit: int = 5_000_000
+    # Component-label tables at or below this many rows are broadcast
+    # into the cluster-assign stage (searchsorted map-side join); above
+    # it a partitioned left-outer Dataset.join runs.  0 forces the
+    # partitioned path (exercised by tests/test_linkage.py).
+    assign_broadcast_limit_rows: int = 20_000_000
 
 
 @dataclass(frozen=True)

@@ -179,10 +179,11 @@ def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
         raise CodecError("not an AVI payload")
     w = h = None
     fps = 0
+    cur_stream = b""  # fccType of the most recent strh (strf follows it)
     frames: list[np.ndarray] = []
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, cur_stream
         pos = lo
         while pos + 8 <= hi:
             cid = buf[pos : pos + 4]
@@ -194,23 +195,34 @@ def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
                 usec, _, _, _, _, _, _, _, aw, ah = struct.unpack(
                     "<10I", buf[body_lo : body_lo + 40]
                 )
-                w, h = int(aw), int(ah)
+                # avih dims are advisory (many real muxers write 0 here);
+                # the video strf's biWidth/biHeight below is authoritative
+                if aw and ah:
+                    w, h = int(aw), int(ah)
                 if usec:
                     fps = round(1_000_000 / usec)
             elif cid == b"strh":
-                _, handler, _, _, _, _, scale, rate = struct.unpack(
+                fcc, handler, _, _, _, _, scale, rate = struct.unpack(
                     "<4s4sIHHIII", buf[body_lo : body_lo + 28]
                 )
-                if scale:
+                cur_stream = fcc
+                # only the VIDEO stream's rate/scale is the frame rate —
+                # an audio strh would otherwise overwrite fps with the
+                # sample rate
+                if fcc == b"vids" and scale:
                     fps = round(rate / scale)
-            elif cid == b"strf":
+            elif cid == b"strf" and cur_stream == b"vids":
                 _, bw, bh, _, bpp, comp = struct.unpack(
                     "<IiiHHI", buf[body_lo : body_lo + 20]
                 )
                 if bpp != 24 or comp != 0:
                     raise CodecError(
-                        f"unsupported AVI stream (bpp={bpp}, compression={comp})"
+                        f"unsupported AVI video stream (bpp={bpp}, compression={comp})"
                     )
+                # authoritative frame dims for row math (negative biHeight
+                # = top-down DIB; this encoder subset is bottom-up only)
+                if bw and bh:
+                    w, h = int(bw), int(abs(bh))
             elif cid[2:4] in (b"db", b"dc"):
                 if w is None or h is None:
                     raise CodecError("AVI frame chunk before header")

@@ -127,7 +127,13 @@ def run_linkage(
         lambda t: t.select(["record_id", "repo", "path", "sha256"]), batch_format="pyarrow"
     )
     clusters = ckpt.through(
-        "clusters", lambda: C.assign_clusters(slim, comp, join_parts)
+        "clusters",
+        lambda: C.assign_clusters(
+            slim,
+            comp,
+            join_parts,
+            broadcast_limit_rows=cfg.clustering.assign_broadcast_limit_rows,
+        ),
     )
     return LinkageResult(clusters=clusters, scored_pairs=scored, stats=ckpt.stats)
 

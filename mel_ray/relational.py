@@ -101,16 +101,56 @@ def filter_project(sf_dir: str):
 
 
 # --- A1/A2/O2: grouped top-k ----------------------------------------------
+def _bucketed_topk(ds, key_col: str, val_col: str, tie_col: str, k: int):
+    """Per-key top-k by (val desc, tie asc) via ONE bucketed groupby and
+    NumPy run-detection inside each bucket (the blocking.py pattern):
+    ALL keys of a bucket are ranked by a single lexsort, so a hot key is
+    just a longer run inside one vectorized sort — never a per-group
+    pandas sort straggler, and never per-group Python dispatch."""
+    from .functions.hashing import U64, hash_strings64, splitmix64
+    from .util import shuffle_partitions
+
+    num_buckets = shuffle_partitions()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            h = splitmix64(col.to_numpy().astype(np.int64).view(U64))
+        else:
+            h = hash_strings64(col)
+        return t.append_column("bucket", pa.array((h % U64(num_buckets)).astype(np.int32)))
+
+    def topk(group: pa.Table) -> pa.Table:
+        keys = group[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.dictionary_encode().indices.to_numpy()
+        val = group[val_col].to_numpy()
+        tie = group[tie_col].to_numpy()
+        order = np.lexsort((tie, -val, codes))
+        codes_s = codes[order]
+        run_start = np.ones(len(codes_s), dtype=bool)
+        run_start[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(codes_s)))
+        rank = np.arange(len(codes_s)) - np.repeat(starts, lens)
+        sel = order[rank < k]
+        return group.take(pa.array(sel)).select([key_col, tie_col, val_col])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
 def grouped_topk(sf_dir: str, k: int = 3):
     """top-k parts per brand by (retailprice desc, partkey asc) — the
     alias-table "most_common(R) per mention" shape (all_languages.py:115)."""
     ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
-
-    def top(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["p_retailprice", "p_partkey"], ascending=[False, True])
-        return g.head(k)
-
-    return ds.groupby("p_brand").map_groups(top, batch_format="pandas")
+    return _bucketed_topk(ds, "p_brand", "p_retailprice", "p_partkey", k)
 
 
 # --- A4/J8: grouped argmax with deterministic tie-break -------------------
@@ -118,12 +158,7 @@ def grouped_argmax(sf_dir: str):
     """per nation: the customer with max acctbal (ties -> min custkey) —
     the "elect canonical page per entity" recast (creator.py:179-206)."""
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"])
-
-    def pick(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
-        return g.head(1)
-
-    return ds.groupby("c_nationkey").map_groups(pick, batch_format="pandas")
+    return _bucketed_topk(ds, "c_nationkey", "c_acctbal", "c_custkey", 1)
 
 
 # --- J2: broadcast (map-side) join ----------------------------------------
@@ -708,19 +743,48 @@ def sorted_neighborhood_pairs(sf_dir: str, w: int = 5):
     ``w−1`` rows borrowed from the following block(s), so window pairs
     crossing block boundaries are emitted exactly once and the pair set
     is byte-identical to the SQL ``row_number()`` formulation.  Work
-    per task is O(block·w); nothing global ever assembles."""
+    per task is O(block·w); nothing global ever assembles.
+
+    The boundary heads (first ``w−1`` keys of every block) are sliced
+    ONCE by tiny remote tasks and broadcast — a window task never
+    fetches a whole following block just to borrow w−1 rows (a skewed
+    neighbor block would otherwise be fully re-transferred per task).
+    The exactly-once guarantee rides on ``to_arrow_refs()`` returning
+    blocks in global sorted order; the head slices carry each block's
+    boundary sort keys, and the monotonicity assertion below pins that
+    assumption at runtime instead of trusting it silently."""
     ds = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).sort(
         ["c_acctbal", "c_custkey"]
     )
     refs = ds.materialize().to_arrow_refs()
     nb = len(refs)
+
+    def _head_meta(tbl: pa.Table, k: int):
+        keys = tbl["c_custkey"].to_numpy().astype(np.int64)
+        bal = tbl["c_acctbal"].to_numpy(zero_copy_only=False)
+        if not len(keys):
+            return keys[:0], None, None
+        return keys[:k], (float(bal[0]), int(keys[0])), (float(bal[-1]), int(keys[-1]))
+
+    head_task = ray.remote(num_cpus=0.25)(_head_meta)
+    metas = ray.get([head_task.remote(r, w - 1) for r in refs])
+    prev = None
+    for _, lo, hi in metas:
+        if lo is None:
+            continue
+        assert prev is None or prev <= lo, (
+            "to_arrow_refs() returned sort blocks out of global order; "
+            "sorted-neighborhood windowing requires ordered blocks"
+        )
+        prev = hi
+    heads_ref = ray.put([m[0] for m in metas])
     tasks = ray.data.from_arrow(
         pa.table({"b": pa.array(np.arange(nb, dtype=np.int64))})
     ).repartition(max(2, min(nb, 16)))
 
     class WindowPairs:
-        def __init__(self, refs, w):
-            self.refs, self.w = list(refs), w
+        def __init__(self, refs, heads_ref, w):
+            self.refs, self.heads, self.w = list(refs), ray.get(heads_ref), w
 
         def __call__(self, t: pa.Table) -> pa.Table:
             out_a, out_b, out_d = [], [], []
@@ -730,10 +794,11 @@ def sorted_neighborhood_pairs(sf_dir: str, w: int = 5):
                 n_own = len(keys)
                 if n_own == 0:
                     continue
-                # borrow the next w-1 rows, spanning blocks if they are tiny
+                # borrow the next w-1 rows from the broadcast head slices,
+                # spanning blocks if they are tiny
                 need, nxt, borrowed = self.w - 1, b + 1, []
-                while need > 0 and nxt < len(self.refs):
-                    ks = ray.get(self.refs[nxt])["c_custkey"].to_numpy().astype(np.int64)
+                while need > 0 and nxt < len(self.heads):
+                    ks = self.heads[nxt]
                     borrowed.append(ks[:need])
                     need -= min(need, len(ks))
                     nxt += 1
@@ -763,7 +828,7 @@ def sorted_neighborhood_pairs(sf_dir: str, w: int = 5):
 
     return tasks.map_batches(
         WindowPairs,
-        fn_constructor_args=(refs, w),
+        fn_constructor_args=(refs, heads_ref, w),
         batch_format="pyarrow",
         concurrency=2,
         num_cpus=0.5,

@@ -155,6 +155,7 @@ def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
     out_b: list[np.ndarray] = []
     n_dropped_bands = 0
     n_salted_bands = 0
+    n_capped_groups = 0
 
     # stopbands: drop mega-runs entirely
     live = lens >= 2
@@ -186,7 +187,10 @@ def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
         mem = np.sort(mem, axis=1)
         iu, ju = np.triu_indices(L, k=1)
         if len(idxs) * len(iu) > cfg.max_pairs_per_group:
-            # hard cap: emit star pairs to the min member only
+            # hard cap: emit star pairs to the min member only.  This is a
+            # SEMANTIC change (a different pair set), so it is counted in
+            # the stats row like drops/salting — no silent caps.
+            n_capped_groups += len(idxs)
             a = np.repeat(mem[:, 0], L - 1)
             b = mem[:, 1:].reshape(-1)
             out_a.append(a)
@@ -220,6 +224,11 @@ def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
             "salted_bands": pa.array(
                 np.concatenate(
                     [np.zeros(len(a), np.int32), np.array([n_salted_bands], np.int32)]
+                )
+            ),
+            "capped_groups": pa.array(
+                np.concatenate(
+                    [np.zeros(len(a), np.int32), np.array([n_capped_groups], np.int32)]
                 )
             ),
         }
@@ -274,18 +283,21 @@ def extract_band_stats(pairs_with_stats: "ray.data.Dataset") -> dict:
 
     # a checkpoint written by a pre-keep_stats build has no stats columns;
     # treat it as zero accounting instead of failing the restore
-    if "dropped_bands" not in pairs_with_stats.schema().names:
-        return {"dropped_bands": 0, "salted_bands": 0}
+    names = pairs_with_stats.schema().names
+    if "dropped_bands" not in names:
+        return {"dropped_bands": 0, "salted_bands": 0, "capped_groups": 0}
+    # capped_groups was added after dropped/salted; older checkpoints
+    # may carry only the first two columns
+    stat_cols = [c for c in ("dropped_bands", "salted_bands", "capped_groups") if c in names]
     agg = pairs_with_stats.map_batches(
         lambda t: t.filter(pa.compute.equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
-            ["dropped_bands", "salted_bands"]
+            stat_cols
         ),
         batch_format="pyarrow",
-    ).aggregate(Sum("dropped_bands"), Sum("salted_bands"))
-    return {
-        "dropped_bands": int(agg.get("sum(dropped_bands)") or 0),
-        "salted_bands": int(agg.get("sum(salted_bands)") or 0),
-    }
+    ).aggregate(*[Sum(c) for c in stat_cols])
+    out = {c: int(agg.get(f"sum({c})") or 0) for c in stat_cols}
+    out.setdefault("capped_groups", 0)
+    return out
 
 
 def strip_band_stats(pairs_with_stats: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -328,8 +340,9 @@ def dedup_pairs(
         keep[1:] = (np.diff(a) != 0) | (np.diff(b) != 0)
         out = {"id_a": pa.array(a[keep]), "id_b": pa.array(b[keep])}
         if carry_stats:
-            for c in ("dropped_bands", "salted_bands"):
-                out[c] = pa.array(group[c].to_numpy()[order][keep])
+            for c in ("dropped_bands", "salted_bands", "capped_groups"):
+                if c in group.column_names:
+                    out[c] = pa.array(group[c].to_numpy()[order][keep])
         return pa.table(out)
 
     from ..util import shuffle_partitions

@@ -37,6 +37,12 @@ from ..functions.strsim import jaro_winkler, levenshtein_ratio
 JOIN_AGG_ARGS = {"num_cpus": 0.25}
 
 
+def _gpu_args(scoring: ScoringConfig) -> dict:
+    """map_batches kwargs for a GPU-backed scorer pool; empty at
+    num_gpus=0 so the CPU-only plan is byte-identical to before."""
+    return {"num_gpus": scoring.num_gpus} if scoring.num_gpus else {}
+
+
 def _rename(ds: "ray.data.Dataset", mapping: dict[str, str], keep: list[str]) -> "ray.data.Dataset":
     def f(t: pa.Table) -> pa.Table:
         t = t.select(keep)
@@ -172,6 +178,7 @@ def score_pairs(
         batch_size=scoring.batch_size,
         concurrency=auto_pool_size(scoring.concurrency),
         num_cpus=1,
+        **_gpu_args(scoring),
     )
 
 
@@ -285,6 +292,7 @@ def score_pairs_broadcast(
         batch_size=scoring.batch_size * 4,
         concurrency=pool,
         num_cpus=1,
+        **_gpu_args(scoring),
     )
 
 

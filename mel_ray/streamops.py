@@ -10,7 +10,6 @@ oracle.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 import ray.data
 
@@ -21,6 +20,39 @@ def _events(sf_dir: str, columns=None):
     return read_parquet_clean(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _with_user_bucket(ds, num_buckets: int):
+    """Add ``bucket = splitmix64(user_id) % B`` so ONE groupby shuffle
+    co-locates each user while the group fn processes a whole bucket of
+    users with NumPy run-detection (the blocking.py pattern) — per-user
+    pandas dispatch and hot-user pandas-sort stragglers both retired."""
+    import pyarrow as pa
+
+    from .functions.hashing import U64, splitmix64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"]
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        h = splitmix64(uid.to_numpy().astype(np.int64).view(U64))
+        return t.append_column("bucket", pa.array((h % U64(num_buckets)).astype(np.int32)))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
+def _user_runs(group, order_cols):
+    """lexsort a bucket by (user_id, *order_cols) and return the sorted
+    row order plus per-user run boundaries (starts, lens)."""
+    uid = group["user_id"].to_numpy()
+    keys = [group[c].to_numpy() for c in reversed(order_cols)] + [uid]
+    order = np.lexsort(tuple(keys))
+    uid_s = uid[order]
+    run_start = np.ones(len(uid_s), dtype=bool)
+    run_start[1:] = uid_s[1:] != uid_s[:-1]
+    starts = np.flatnonzero(run_start)
+    lens = np.diff(np.append(starts, len(uid_s)))
+    return order, starts, lens
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """per user: split the ts-ordered event stream at gaps > ``gap``;
     emit one row per session (user_id, session_id, n_events, t_start).
@@ -29,26 +61,44 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     the grouped-sorted-scan shape of the reference's per-file ordered
     processing (multifile_dataset.py:22-29) with explicit event-time
     semantics."""
+    from .util import shuffle_partitions
+
     ds = _events(sf_dir, ["user_id", "ts", "event_id"])
     gap = np.timedelta64(gap_minutes, "m")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame({"session_id": sid, "ts": g["ts"].to_numpy()})
-            .groupby("session_id")
-            .agg(n_events=("ts", "size"), t_start=("ts", "min"))
-            .reset_index()
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def per_bucket(g: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+        order, starts, lens = _user_runs(g, ["ts", "event_id"])
+        uid = g["user_id"].to_numpy()[order]
+        ts = g["ts"].to_numpy()[order]
+        # session boundary: first row of a user run OR gap exceeded
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        new_session[starts] = True
+        # 0-based session id within each user run: global boundary cumsum
+        # minus its value at the run start (exact integer arithmetic)
+        c = np.cumsum(new_session)
+        sid = c - np.repeat(c[starts], lens)  # first boundary row -> 0? no:
+        # c[start] counts the boundary AT the start row, so subtracting it
+        # zeroes the first session; later boundaries increment from there.
+        s_idx = np.flatnonzero(new_session)  # one session per boundary row
+        n_events = np.diff(np.append(s_idx, len(ts)))
+        return pa.table(
+            {
+                "user_id": pa.array(uid[s_idx]),
+                "session_id": pa.array(sid[s_idx].astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "t_start": pa.array(ts[s_idx]),
+            }
+        )
+
+    out = (
+        _with_user_bucket(ds, shuffle_partitions())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
     # pin output dtypes to the oracle's: the pandas path emits
     # datetime64[ns] / platform ints, the parquet source (and DuckDB) use
@@ -72,21 +122,40 @@ def running_sum(sf_dir: str):
     """per user, ts-ordered cumulative sum of ``value`` (rounded) — the
     bounded-stream recast of a stateful running aggregate
     (RunningAverages, utils/running_averages.py:4-58)."""
+    from .util import shuffle_partitions
+
     ds = _events(sf_dir, ["user_id", "ts", "event_id", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
         from .util import round_half_away
 
-        g = g.sort_values(["ts", "event_id"])
-        return pd.DataFrame(
+        order, starts, lens = _user_runs(g, ["ts", "event_id"])
+        uid = g["user_id"].to_numpy()[order]
+        eid = g["event_id"].to_numpy()[order]
+        val = g["value"].to_numpy()[order]
+        # per-run cumsum: a tiny Python loop over RUNS with a vectorized
+        # body — bitwise-identical to a sequential per-user cumsum (a
+        # subtract-the-prefix trick would reassociate the float adds and
+        # can flip a value across the 2-dp rounding boundary vs the
+        # window-function oracle)
+        run = np.empty_like(val)
+        for s, n in zip(starts, lens):
+            run[s : s + n] = np.cumsum(val[s : s + n])
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "running_value": round_half_away(np.cumsum(g["value"].to_numpy()), 2),
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "running_value": pa.array(round_half_away(run, 2)),
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        _with_user_bucket(ds, shuffle_partitions())
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
 
 
 def sliding_window_counts(sf_dir: str, size_minutes: int = 60, slide_minutes: int = 30):

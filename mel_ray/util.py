@@ -35,10 +35,20 @@ def read_parquet_clean(paths, *, columns: list[str] | None = None, **kwargs):
     return ds.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _sniff_clean_schema(paths, columns):
-    """Projected, metadata-free schema of the first parquet file under
-    ``paths``, or ``None`` when it cannot be determined (caller falls
-    back to a post-read strip)."""
+def _sniff_clean_schema(paths, columns, max_probe: int = 8):
+    """Projected, metadata-free schema sniffed from the input files, or
+    ``None`` when it cannot be determined — the caller then falls back
+    to a post-read strip map (which also tolerates per-file type
+    promotion, since no explicit ``schema=`` is forced on the scan).
+
+    Multi-file inputs are probed at up to ``max_probe`` evenly-spaced
+    footers (never all of them — at 10^6-shard scale the driver must not
+    read every footer): if any probed file disagrees on the projected
+    field types, we return ``None`` rather than force the first file's
+    schema onto the whole read.  Evenly-spaced probing bounds, not
+    eliminates, the risk of an unprobed divergent file — acceptable
+    because our writers emit uniform schemas and the fallback path is
+    only a log-spam (schema-dedup) regression, not a correctness one."""
     import glob as _glob
     import os
 
@@ -50,14 +60,26 @@ def _sniff_clean_schema(paths, columns):
         return None
     first = str(first)
     try:
+        probes = [first]
         if os.path.isdir(first):
             hits = sorted(_glob.glob(os.path.join(first, "*.parquet")))
             if not hits:
                 return None
-            first = hits[0]
-        full = pq.read_schema(first)
-        names = columns if columns is not None else full.names
-        return pa.schema([full.field(c).remove_metadata() for c in names])
+            if len(hits) <= max_probe:
+                probes = hits
+            else:
+                idx = np.linspace(0, len(hits) - 1, max_probe).astype(int)
+                probes = [hits[i] for i in idx]
+        schema = None
+        for p in probes:
+            full = pq.read_schema(p)
+            names = columns if columns is not None else full.names
+            s = pa.schema([full.field(c).remove_metadata() for c in names])
+            if schema is None:
+                schema = s
+            elif not schema.equals(s):
+                return None  # divergent shards: let the scan sort types out
+        return schema
     except Exception:
         return None
 

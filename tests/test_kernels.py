@@ -264,3 +264,60 @@ def test_content_window_bounds_featurize_work():
     out2 = featurize_batch(batch, BlockingConfig(), 64, 4)
     sig2 = binary_matrix(out2["sig"], np.uint32)
     assert not (sig2[0] == sig2[1]).all()
+
+
+class TestPairEmissionAccounting:
+    """No-silent-caps: every semantic degradation of the pair set
+    (stopband drop, salting, star-pair cap) is counted in the stats row."""
+
+    @staticmethod
+    def _bucket(band_sizes):
+        rows_bh, rows_rid = [], []
+        next_id = 0
+        for bh, size in enumerate(band_sizes):
+            for _ in range(size):
+                rows_bh.append(bh)
+                rows_rid.append(next_id)
+                next_id += 1
+        return pa.table(
+            {
+                "record_id": pa.array(rows_rid, pa.int64()),
+                "band_hash": pa.array(rows_bh, pa.int64()),
+                "bucket": pa.array([0] * len(rows_bh), pa.int32()),
+            }
+        )
+
+    def test_star_pair_cap_is_counted(self):
+        from mel_ray.config import BlockingConfig
+        from mel_ray.stages.blocking import _emit_pairs_for_bucket
+
+        cfg = BlockingConfig(salt_limit=64, stopband_limit=4096, max_pairs_per_group=10)
+        out = _emit_pairs_for_bucket(self._bucket([6]), cfg)  # C(6,2)=15 > 10
+        stats = out.filter(pa.compute.equal(out["id_a"], pa.scalar(-1, pa.int64())))
+        assert stats["capped_groups"][0].as_py() == 1
+        assert stats["dropped_bands"][0].as_py() == 0
+        pairs = out.filter(pa.compute.not_equal(out["id_a"], pa.scalar(-1, pa.int64())))
+        # star fallback: 5 pairs to the min member, not the 15 all-pairs
+        assert len(pairs) == 5
+        assert set(pairs["id_a"].to_pylist()) == {0}
+
+    def test_uncapped_band_not_counted(self):
+        from mel_ray.config import BlockingConfig
+        from mel_ray.stages.blocking import _emit_pairs_for_bucket
+
+        cfg = BlockingConfig(salt_limit=64, stopband_limit=4096, max_pairs_per_group=100)
+        out = _emit_pairs_for_bucket(self._bucket([6, 3]), cfg)
+        stats = out.filter(pa.compute.equal(out["id_a"], pa.scalar(-1, pa.int64())))
+        assert stats["capped_groups"][0].as_py() == 0
+        pairs = out.filter(pa.compute.not_equal(out["id_a"], pa.scalar(-1, pa.int64())))
+        assert len(pairs) == 15 + 3
+
+
+def test_scorer_gpu_knob_is_noop_at_zero():
+    """num_gpus=0 must not change the map_batches kwargs at all (this
+    sandbox is CPU-only); a positive value passes straight through."""
+    from mel_ray.config import ScoringConfig
+    from mel_ray.stages.scoring import _gpu_args
+
+    assert _gpu_args(ScoringConfig()) == {}
+    assert _gpu_args(ScoringConfig(num_gpus=0.25)) == {"num_gpus": 0.25}

@@ -133,3 +133,45 @@ def test_fs_weights_matches_naive():
         assert got.loc[name, "u"] == pytest.approx(u, abs=2e-6)
     # a discriminative feature separates matches from non-matches
     assert got.loc["est_jaccard", "m"] > got.loc["est_jaccard", "u"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_scoring_path_matches_broadcast(tiny_corpus):
+    """The declared 100-TB path (verify -> attach -> PairScorer cascade,
+    partitioned Dataset.joins; plus the partitioned left-outer cluster
+    assign) must produce EXACTLY the broadcast fast path's results — the
+    oracle-vs-optimized discipline of the reference's
+    SimplifiedBruteForceSearcher (models/searchers/
+    simplified_brute_force_searcher.py:1-20).  broadcast_limit_rows=0
+    forces every selector to the partitioned branch."""
+    from dataclasses import replace
+
+    from mel_ray.config import ClusteringConfig, LinkageConfig, ScoringConfig
+    from mel_ray.pipelines.linkage import run_linkage
+
+    def collect(cfg):
+        res = run_linkage(str(tiny_corpus / "files"), cfg)
+        pairs = (
+            res.scored_pairs.to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        clusters = {
+            r["record_id"]: r["cluster_id"] for r in res.clusters.take_all()
+        }
+        return pairs, clusters
+
+    base = LinkageConfig()
+    forced = LinkageConfig(
+        scoring=replace(base.scoring, broadcast_limit_rows=0),
+        clustering=replace(base.clustering, assign_broadcast_limit_rows=0),
+    )
+    b_pairs, b_clusters = collect(base)
+    p_pairs, p_clusters = collect(forced)
+    assert len(b_pairs) > 100
+    assert list(b_pairs.columns) == list(p_pairs.columns)
+    assert len(b_pairs) == len(p_pairs)
+    for col in b_pairs.columns:
+        bv, pv = b_pairs[col].to_numpy(), p_pairs[col].to_numpy()
+        assert (bv == pv).all(), f"column {col} diverges between scoring paths"
+    assert b_clusters == p_clusters

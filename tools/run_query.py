@@ -51,16 +51,36 @@ def main() -> int:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     try:
         out = qmap[args.query](args.sf_dir)
-        if args.out:
-            out.write_parquet(args.out)
-            print(f"wrote {out.count()} rows to {args.out}")
-        elif hasattr(out, "take"):
-            rows = out.take(args.limit)
-            for r in rows:
-                print(r)
-            print(f"({out.count()} rows total)")
-        else:  # pandas / pyarrow result
-            print(out)
+        # branch on the concrete type: pandas.DataFrame also has .take()
+        # (an integer positional take that would crash on a row limit)
+        if isinstance(out, ray.data.Dataset):
+            if args.out:
+                # count the WRITTEN rows: out.count() after write_parquet
+                # would re-execute the whole lazy query a second time
+                import pyarrow.parquet as pq
+
+                out.write_parquet(args.out)
+                n = pq.ParquetDataset(args.out).read(columns=[]).num_rows
+                print(f"wrote {n} rows to {args.out}")
+            else:
+                for r in out.take(args.limit):
+                    print(r)
+                print(f"({out.count()} rows total)")
+        else:  # pandas.DataFrame / pyarrow.Table result (small by design)
+            import pandas as pd
+            import pyarrow as pa
+
+            if isinstance(out, pa.Table):
+                out = out.to_pandas()
+            if args.out:
+                from pathlib import Path as _P
+
+                _P(args.out).mkdir(parents=True, exist_ok=True)
+                out.to_parquet(f"{args.out}/part-0.parquet", index=False)
+                print(f"wrote {len(out)} rows to {args.out}")
+            else:
+                with pd.option_context("display.max_rows", args.limit):
+                    print(out)
         return 0
     finally:
         ray.shutdown()
