@@ -26,13 +26,16 @@ import ray.data
 
 from .util import read_parquet_clean, round_half_away
 
-def _unit_features(sf_dir: str) -> "ray.data.Dataset":
+def _unit_features(sf_dir: str, max_per_label: int | None = None) -> "ray.data.Dataset":
     """embeddings -> (vec_id, unit) with unit = L2-normalized float64
     vector as a fixed-width binary blob (Acero-joinable, zero-copy
-    decodable) — built distributed, one batch at a time."""
+    decodable) — built distributed, one batch at a time.
+
+    ``max_per_label`` composes the per-key index cap (T6) into the
+    source, exactly as the IVF builds do."""
     from .stages.blocking import _binary_rows
 
-    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _capped_embeddings(sf_dir, max_per_label, with_label=False)
 
     def f(t: pa.Table) -> pa.Table:
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
@@ -62,7 +65,9 @@ def _query_ids(sf_dir: str, num_queries: int) -> "ray.data.Dataset":
     )
 
 
-def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
+def knn_bruteforce(
+    sf_dir: str, k: int = 5, num_queries: int = 20, max_per_label: int | None = None
+):
     """exact top-k cosine neighbors of the first ``num_queries`` vectors
     (by vec_id), self excluded; ties -> lower vec_id.
 
@@ -71,11 +76,29 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 20):
     the matrix from the block refs in ``__init__`` — the exact-baseline
     cost is one worker holding the full matrix, never the driver.
     ``BruteForceSearcher.find`` recast (brute_force_searcher.py:28-36).
-    """
+    ``max_per_label`` = exact search over the per-label-capped index
+    (T6 composed with the exact baseline — SQL-checkable, unlike the
+    IVF-capped variant whose probe set is the approximation)."""
     from .stages.blocking import binary_matrix
 
-    index_refs = _unit_features(sf_dir).materialize().to_arrow_refs()
-    queries = _query_ids(sf_dir, num_queries)
+    index_ds = _unit_features(sf_dir, max_per_label).materialize()
+    index_refs = index_ds.to_arrow_refs()
+    if max_per_label is None:
+        queries = _query_ids(sf_dir, num_queries)
+    else:
+        # query set = first n ids OF THE CAPPED INDEX (a capped-out id
+        # would have no row in the searcher's matrix)
+        queries = (
+            index_ds.sort("vec_id")
+            .limit(num_queries)
+            .map_batches(
+                lambda t: pa.table(
+                    {"query_id": pa.compute.cast(t["vec_id"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .repartition(2)
+        )
 
     class Searcher:
         def __init__(self, refs):

@@ -36,10 +36,20 @@ def corpus_ingest(sf_dir: str):
 
 
 def corpus_dup_groups(sf_dir: str):
-    """exact-duplicate content groups: sha256 -> n_copies (D2 recast)."""
-    ds = I.ingest(I.read_corpus(_corpus_files(sf_dir)))
+    """exact-duplicate content groups: sha256 -> n_copies (D2 recast).
+
+    Reads ONLY the content column and computes ONLY the sha — the full
+    ingest (record fingerprint, rename remap, lengths) is dead weight
+    for this projection, and the groupby ships 64 B/row either way."""
+    from .functions.hashing import sha256_hex
+
+    ds = I.read_corpus(_corpus_files(sf_dir), columns=["content"])
     return (
-        ds.map_batches(lambda t: t.select(["sha256"]), batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: pa.table({"sha256": sha256_hex(t["content"])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("sha256")
         .aggregate(Count(alias_name="n_copies"))
     )

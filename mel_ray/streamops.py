@@ -229,38 +229,68 @@ def asof_join(sf_dir: str, left_type: str = "purchase", right_type: str = "click
             }
         )
 
-    def per_user(g: pa.Table) -> pa.Table:
-        ts = g["ts"].to_numpy()
-        side = g["side"].to_numpy()
-        eid = g["event_id"].to_numpy()
-        L = side == 1
-        r_ts, r_id = ts[~L], eid[~L]
-        l_ts, l_id = ts[L], eid[L]
-        # dedupe right rows per ts: keep max event_id (deterministic)
-        order = np.lexsort((r_id, r_ts))
-        r_ts, r_id = r_ts[order], r_id[order]
-        if len(r_ts):
-            last = np.ones(len(r_ts), dtype=bool)
-            last[:-1] = r_ts[1:] != r_ts[:-1]
-            r_ts, r_id = r_ts[last], r_id[last]
-        pos = np.searchsorted(r_ts, l_ts, side="right") - 1
-        hit = pos >= 0
-        l_ts, l_id, pos = l_ts[hit], l_id[hit], pos[hit]
-        uid = np.full(len(l_id), g["user_id"][0].as_py(), dtype=np.int64)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        order, starts, lens = _user_runs(g, [])
+        ts_all = g["ts"].to_numpy()[order]
+        side_all = g["side"].to_numpy()[order]
+        eid_all = g["event_id"].to_numpy()[order]
+        uid_all = g["user_id"].to_numpy()[order]
+        out_id, out_uid, out_ts, out_cid, out_cts = [], [], [], [], []
+        # tiny loop over USER runs with a vectorized body (not per-row,
+        # not per-group Ray dispatch)
+        for s, n in zip(starts, lens):
+            ts = ts_all[s : s + n]
+            side = side_all[s : s + n]
+            eid = eid_all[s : s + n]
+            L = side == 1
+            r_ts, r_id = ts[~L], eid[~L]
+            l_ts, l_id = ts[L], eid[L]
+            ro = np.lexsort((r_id, r_ts))
+            r_ts, r_id = r_ts[ro], r_id[ro]
+            if len(r_ts):
+                # dedupe right rows per ts: keep max event_id (deterministic)
+                last = np.ones(len(r_ts), dtype=bool)
+                last[:-1] = r_ts[1:] != r_ts[:-1]
+                r_ts, r_id = r_ts[last], r_id[last]
+            pos = np.searchsorted(r_ts, l_ts, side="right") - 1
+            hit = pos >= 0
+            l_ts, l_id, pos = l_ts[hit], l_id[hit], pos[hit]
+            if not len(l_id):
+                continue
+            out_id.append(l_id)
+            out_uid.append(np.full(len(l_id), uid_all[s], dtype=np.int64))
+            out_ts.append(l_ts)
+            out_cid.append(r_id[pos])
+            out_cts.append(r_ts[pos])
+        if not out_id:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "last_click_id": pa.array([], pa.int64()),
+                    "last_click_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
         return pa.table(
             {
-                "event_id": pa.array(l_id),
-                "user_id": pa.array(uid),
-                "ts": pa.array(l_ts).cast(pa.timestamp("us")),
-                "last_click_id": pa.array(r_id[pos] if len(pos) else np.empty(0, np.int64)),
-                "last_click_ts": pa.array(
-                    r_ts[pos] if len(pos) else np.empty(0, "datetime64[us]")
-                ).cast(pa.timestamp("us")),
+                "event_id": pa.array(np.concatenate(out_id)),
+                "user_id": pa.array(np.concatenate(out_uid)),
+                "ts": pa.array(np.concatenate(out_ts)).cast(pa.timestamp("us")),
+                "last_click_id": pa.array(np.concatenate(out_cid)),
+                "last_click_ts": pa.array(np.concatenate(out_cts)).cast(
+                    pa.timestamp("us")
+                ),
             }
         )
 
+    from .util import shuffle_partitions
+
     return (
-        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        _with_user_bucket(
+            ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+            shuffle_partitions(),
+        )
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
