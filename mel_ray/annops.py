@@ -337,7 +337,7 @@ def _capped_embeddings(sf_dir: str, max_per_label: int | None, with_label: bool)
         ids = pa.concat_tables(parts)["vec_id"].to_numpy()
         return np.sort(ids)
 
-    ref = ray.remote(_assemble).remote(*keep.to_arrow_refs())
+    ref = ray.remote(num_cpus=0.25)(_assemble).remote(*keep.to_arrow_refs())
 
     class KeepFilter:
         def __init__(self, ref):

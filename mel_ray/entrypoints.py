@@ -59,12 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_distribution": relational.event_type_distribution,
         "first_n_distinct": relational.first_n_distinct,
         "stratified_sample": relational.stratified_sample,
+        "negative_sampling": relational.negative_sampling,
         "grouped_quantile": relational.grouped_quantile,
         "range_join": relational.range_join,
         # --- bounded event-time operators ---
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
-        "sliding_window_counts": streamops.sliding_window_counts,
         "asof_join": streamops.asof_join,
         # --- source formats beyond parquet (S1/S2) + nested model ---
         "jsonl_ingest": sourceops.jsonl_ingest,
@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_quantized": annops.knn_quantized,
         "knn_ivf_quantized": annops.knn_ivf_quantized,
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
+        "sliding_window_counts": streamops.sliding_window_counts,
         "topk_global": relational.topk_global,
         "intersect_distinct": relational.intersect_distinct,
         "except_distinct": relational.except_distinct,
@@ -522,6 +523,17 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
               FROM events) WHERE rn <= 20
+        """,
+        "negative_sampling": """
+            WITH types AS (SELECT DISTINCT event_type FROM events),
+            cand AS (
+              SELECT e.event_id, t.event_type AS neg_type,
+                     md5(CAST(e.event_id AS VARCHAR) || ':' || t.event_type) AS h
+              FROM events e JOIN types t ON t.event_type <> e.event_type)
+            SELECT event_id, neg_type, CAST(rn AS BIGINT) AS neg_rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY event_id
+                         ORDER BY h ASC, neg_type ASC) AS rn
+              FROM cand) WHERE rn <= 2
         """,
         "doc_mask_stopwords": r"""
             SELECT doc_id,

@@ -225,7 +225,7 @@ def _run(sf_dir: str) -> _ExactResult:
     records = files.map_batches(
         lambda t: _records_batch(t), batch_format="pyarrow"
     ).materialize()
-    side_ref = ray.remote(_assemble_record_side).remote(
+    side_ref = ray.remote(num_cpus=0.25)(_assemble_record_side).remote(
         *nsh.materialize().to_arrow_refs(), *records.to_arrow_refs()
     )
 
@@ -328,7 +328,9 @@ def linkage_exact_clusters(sf_dir: str):
         order = np.argsort(cids, kind="stable")
         return cids[order], t["min(uid)"].combine_chunks().take(pa.array(order))
 
-    rep_ref = ray.remote(_assemble_rep).remote(*rep.materialize().to_arrow_refs())
+    rep_ref = ray.remote(num_cpus=0.25)(_assemble_rep).remote(
+        *rep.materialize().to_arrow_refs()
+    )
 
     class Label:
         def __init__(self, ref):

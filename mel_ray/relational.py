@@ -100,13 +100,32 @@ def filter_project(sf_dir: str):
     return out.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
 
 
-# --- A1/A2/O2: grouped top-k ----------------------------------------------
-def _bucketed_topk(ds, key_col: str, val_col: str, tie_col: str, k: int):
-    """Per-key top-k by (val desc, tie asc) via ONE bucketed groupby and
-    NumPy run-detection inside each bucket (the blocking.py pattern):
-    ALL keys of a bucket are ranked by a single lexsort, so a hot key is
-    just a longer run inside one vectorized sort — never a per-group
-    pandas sort straggler, and never per-group Python dispatch."""
+# --- A1/A2/O2: grouped top-k / per-key head --------------------------------
+def _lexsort_key(col, ascending: bool) -> np.ndarray:
+    """One lexsort key array for an Arrow column; strings become
+    sorted-dictionary ranks so lexicographic order survives without
+    sorting object arrays row-wise (dictionaries are small)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        enc = col.dictionary_encode()
+        dvals = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dvals), dtype=np.int64)
+        rank[np.argsort(dvals, kind="stable")] = np.arange(len(dvals))
+        key = rank[enc.indices.to_numpy()]
+    else:
+        key = col.to_numpy(zero_copy_only=False)
+    if not ascending:
+        key = -key.astype(np.float64) if key.dtype.kind == "f" else -key.astype(np.int64)
+    return key
+
+
+def _bucketed_head(ds, key_col: str, order: list[tuple[str, bool]], k: int, out_cols):
+    """Per-key head-k under (col, ascending) sort order, via ONE bucketed
+    groupby and NumPy run-detection inside each bucket (the blocking.py
+    pattern): ALL keys of a bucket are ranked by a single lexsort, so a
+    hot key is just a longer run inside one vectorized sort — never a
+    per-group pandas sort straggler, never per-group Python dispatch."""
     from .functions.hashing import U64, hash_strings64, splitmix64
     from .util import shuffle_partitions
 
@@ -122,27 +141,25 @@ def _bucketed_topk(ds, key_col: str, val_col: str, tie_col: str, k: int):
             h = hash_strings64(col)
         return t.append_column("bucket", pa.array((h % U64(num_buckets)).astype(np.int32)))
 
-    def topk(group: pa.Table) -> pa.Table:
+    def head(group: pa.Table) -> pa.Table:
         keys = group[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         codes = keys.dictionary_encode().indices.to_numpy()
-        val = group[val_col].to_numpy()
-        tie = group[tie_col].to_numpy()
-        order = np.lexsort((tie, -val, codes))
-        codes_s = codes[order]
+        sort_keys = [_lexsort_key(group[c], asc) for c, asc in reversed(order)]
+        o = np.lexsort(tuple(sort_keys) + (codes,))
+        codes_s = codes[o]
         run_start = np.ones(len(codes_s), dtype=bool)
         run_start[1:] = codes_s[1:] != codes_s[:-1]
         starts = np.flatnonzero(run_start)
         lens = np.diff(np.append(starts, len(codes_s)))
         rank = np.arange(len(codes_s)) - np.repeat(starts, lens)
-        sel = order[rank < k]
-        return group.take(pa.array(sel)).select([key_col, tie_col, val_col])
+        return group.take(pa.array(o[rank < k])).select(out_cols)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(topk, batch_format="pyarrow")
+        .map_groups(head, batch_format="pyarrow")
     )
 
 
@@ -150,7 +167,13 @@ def grouped_topk(sf_dir: str, k: int = 3):
     """top-k parts per brand by (retailprice desc, partkey asc) — the
     alias-table "most_common(R) per mention" shape (all_languages.py:115)."""
     ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
-    return _bucketed_topk(ds, "p_brand", "p_retailprice", "p_partkey", k)
+    return _bucketed_head(
+        ds,
+        "p_brand",
+        [("p_retailprice", False), ("p_partkey", True)],
+        k,
+        ["p_brand", "p_partkey", "p_retailprice"],
+    )
 
 
 # --- A4/J8: grouped argmax with deterministic tie-break -------------------
@@ -158,7 +181,13 @@ def grouped_argmax(sf_dir: str):
     """per nation: the customer with max acctbal (ties -> min custkey) —
     the "elect canonical page per entity" recast (creator.py:179-206)."""
     ds = _read(sf_dir, "customer", ["c_nationkey", "c_custkey", "c_acctbal"])
-    return _bucketed_topk(ds, "c_nationkey", "c_acctbal", "c_custkey", 1)
+    return _bucketed_head(
+        ds,
+        "c_nationkey",
+        [("c_acctbal", False), ("c_custkey", True)],
+        1,
+        ["c_nationkey", "c_custkey", "c_acctbal"],
+    )
 
 
 # --- J2: broadcast (map-side) join ----------------------------------------
@@ -304,12 +333,14 @@ def per_key_cap(sf_dir: str, cap: int = 2):
     """<= cap lineitems per order, in linenumber order (max_per_qid cap,
     index/index.py:102-120)."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-
-    def head(group: pd.DataFrame) -> pd.DataFrame:
-        # l_quantity breaks (orderkey, linenumber) ties deterministically
-        return group.sort_values(["l_linenumber", "l_quantity"]).head(cap)
-
-    return ds.groupby("l_orderkey").map_groups(head, batch_format="pandas")
+    # l_quantity breaks (orderkey, linenumber) ties deterministically
+    return _bucketed_head(
+        ds,
+        "l_orderkey",
+        [("l_linenumber", True), ("l_quantity", True)],
+        cap,
+        ["l_orderkey", "l_linenumber", "l_quantity"],
+    )
 
 
 # --- A10: distinct count ---------------------------------------------------
@@ -421,10 +452,13 @@ def first_n_distinct(sf_dir: str, n: int = 3):
         )
     )
 
-    def top(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["first_ts", "event_type"]).head(n)
-
-    out = firsts.groupby("user_id").map_groups(top, batch_format="pandas")
+    out = _bucketed_head(
+        firsts,
+        "user_id",
+        [("first_ts", True), ("event_type", True)],
+        n,
+        ["user_id", "event_type", "first_ts"],
+    )
     return out.map_batches(
         lambda t: pa.table(
             {
@@ -462,12 +496,79 @@ def alias_table(sf_dir: str, r: int = 2):
     mention->top-R-QIDs alias table verbatim (all_languages.py:93-115)."""
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     counts = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n"))
+    return _bucketed_head(
+        counts,
+        "user_id",
+        [("n", False), ("event_type", True)],
+        r,
+        ["user_id", "event_type", "n"],
+    )
 
-    def top(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["n", "event_type"], ascending=[False, True])
-        return g.head(r)
 
-    return counts.groupby("user_id").map_groups(top, batch_format="pandas")
+# --- T7/O7: deterministic negative sampling --------------------------------
+def negative_sampling(sf_dir: str, k: int = 2):
+    """Per event ("mention"), ``k`` deterministic NEGATIVE event types
+    ("entities" != the gold one), ranked by ``md5(event_id:type)`` — the
+    reference's negative sampler recast without RNG state
+    (``models/negative_sampler.py:126-199``: sample negatives per
+    mention EXCLUDING the gold entity — the anti-join — then take K;
+    hash-ranking replaces the torch generator so the result is
+    scheduling-independent and has an exact SQL mirror).
+
+    Scale shape: the candidate entity table is broadcast (it is the
+    genuinely small side — the reference's is the entity embedding
+    index); per batch the (row x candidate) expansion is bounded by
+    k+|types| and ranked with ONE global lexsort keyed by row — no
+    shuffle at all, the output streams."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    types = sorted(
+        _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    )
+    types_ref = ray.put(types)
+
+    class Sample:
+        def __init__(self, ref):
+            self.types = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            md5 = hashlib.md5
+            eid = t["event_id"].to_numpy()
+            gold = t["event_type"].to_numpy(zero_copy_only=False)
+            n = len(eid)
+            C = len(self.types)
+            # (n, C) candidate grid minus each row's gold column (types
+            # sorted -> searchsorted gives the gold's candidate index)
+            tarr = np.asarray(self.types, dtype=object)
+            gold_idx = np.searchsorted(tarr, gold.astype(object))
+            cand_idx = np.broadcast_to(np.arange(C), (n, C))
+            keep = (cand_idx != gold_idx[:, None]).ravel()
+            rows = np.repeat(np.arange(n), C)[keep]
+            cands = cand_idx.ravel()[keep]
+            digests = b"".join(
+                md5(f"{eid[r]}:{self.types[c]}".encode()).digest()
+                for r, c in zip(rows, cands)
+            )
+            h = np.frombuffer(digests, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+            order = np.lexsort((cands, h[:, 1], h[:, 0], rows))
+            rows_s = rows[order]
+            rank = np.arange(len(rows_s)) - np.searchsorted(rows_s, rows_s)
+            sel = order[rank < k]
+            out_rank = rank[rank < k] + 1
+            return pa.table(
+                {
+                    "event_id": pa.array(eid[rows[sel]]),
+                    "neg_type": pa.array(
+                        [self.types[c] for c in cands[sel]], pa.string()
+                    ),
+                    "neg_rank": pa.array(out_rank.astype(np.int64)),
+                }
+            )
+
+    return ds.map_batches(
+        Sample, fn_constructor_args=(types_ref,), batch_format="pyarrow", concurrency=2
+    )
 
 
 # --- O9 deterministic variant: per-key hash-ordered sample ------------------

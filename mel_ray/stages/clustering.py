@@ -224,7 +224,11 @@ def assign_clusters(
             order = np.argsort(ids, kind="stable")
             return ids[order], cids[order]
 
-        ref = _ray.remote(_assemble_labels).remote(*component_labels.to_arrow_refs())
+        # fractional CPU so the task schedules while pool actors hold
+        # their reservations (2-cpu deadlock guard; see scoring.py)
+        ref = _ray.remote(num_cpus=0.25)(_assemble_labels).remote(
+            *component_labels.to_arrow_refs()
+        )
 
         class Assign:
             def __init__(self, ref):

@@ -216,7 +216,11 @@ def _collect_features_ref(features: "ray.data.Dataset"):
     import ray as _ray
 
     refs = features.to_arrow_refs()
-    assemble = _ray.remote(num_returns=1)(_assemble_features)
+    # fractional CPU: the assemble task must be schedulable WHILE the
+    # scorer actors (whose __init__ blocks on its output) hold their
+    # reservations — at num_cpus=2 a full-CPU task here deadlocks the
+    # whole stage (see the fractional-cpu rule on JOIN_AGG_ARGS)
+    assemble = _ray.remote(num_returns=1, num_cpus=0.25)(_assemble_features)
     return assemble.remote(*refs)
 
 
@@ -287,13 +291,18 @@ def score_pairs_broadcast(
     # ~num_buckets skewed blocks, so a straggler block sets the stage
     # tail.  A split-only repartition to 4 tasks/actor evens the packing
     # (measured: 894ms–3.2s per block before, ~1s stage tail saved).
+    # num_cpus=0.5: the pool's RESERVATION must leave room for the
+    # assemble task + repartition tasks even at tiny clusters (2 actors
+    # x 1.0 cpu on a 2-cpu cluster deadlocks: __init__ blocks on the
+    # assemble task which then has no slot).  The actors still occupy
+    # whole cores when running — reservation is scheduling accounting.
     return pairs.repartition(pool * 4).map_batches(
         BroadcastPairScorer,
         fn_constructor_args=(ref, scoring),
         batch_format="pyarrow",
         batch_size=scoring.batch_size * 4,
         concurrency=pool,
-        num_cpus=1,
+        num_cpus=0.5,
         **_gpu_args(scoring),
     )
 
