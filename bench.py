@@ -123,15 +123,28 @@ def run_scaling() -> dict:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR, BENCH_SKIP_QUERIES="1"
         )
-        out = subprocess.run(
-            [sys.executable, __file__],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=str(Path(__file__).resolve().parent),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # ray.init occasionally hangs at STARTUP on this sandbox (driver
+        # blocked on a unix-socket recv before any task is submitted —
+        # observed once after a killed predecessor session).  A per-
+        # subprocess timeout + one retry keeps a startup flake from
+        # wedging the whole scaling measurement.
+        for attempt in (0, 1):
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                    timeout=int(os.environ.get("GRAFT_SCALE_TIMEOUT", "1800")),
+                    cwd=str(Path(__file__).resolve().parent),
+                ).stdout
+                return json.loads(out.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+                if attempt:
+                    raise
+                subprocess.run(["pkill", "-f", "default_worker.py"], check=False)
+                time.sleep(5)
 
     lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "32"))

@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": corpusops.linkage_clusters,
         "linkage_f1_metrics": corpusops.linkage_f1_metrics,
         # ================= position > 50: outside the driver window ====
+        "unique_batcher": relational.unique_batcher,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "blocking_quality": corpusops.blocking_quality,
         "cluster_reps": corpusops.cluster_reps,
@@ -523,6 +524,14 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
               FROM events) WHERE rn <= 20
+        """,
+        "unique_batcher": """
+            SELECT event_id, event_type,
+                   CAST(row_number() OVER (
+                          PARTITION BY event_type
+                          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                        - 1 AS BIGINT) AS batch_id
+            FROM events
         """,
         "negative_sampling": """
             WITH types AS (SELECT DISTINCT event_type FROM events),

@@ -505,6 +505,68 @@ def alias_table(sf_dir: str, r: int = 2):
     )
 
 
+# --- S4/O6: in-batch-unique training batcher --------------------------------
+def unique_batcher(sf_dir: str):
+    """Assign every event to a training batch such that NO batch holds
+    two rows of the same event_type — the reference's BatcherDataset
+    contract (in-batch-unique QIDs,
+    ``finetunings/generate_epochs/datasets.py:22-101``) made
+    deterministic: batch_id = the row's md5-rank WITHIN its label, so
+    each label contributes at most one row per batch and the assignment
+    is scheduling-independent with an exact SQL mirror (row_number over
+    the label partition).
+
+    Scale shape: ONE bucketed groupby on hash(label); ranking inside a
+    bucket is a single lexsort + run-detection over all labels of the
+    bucket (the blocking.py pattern)."""
+    import hashlib
+
+    from .functions.hashing import U64, hash_strings64
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    from .util import shuffle_partitions
+
+    num_buckets = shuffle_partitions()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = hash_strings64(t["event_type"])
+        return t.append_column(
+            "bucket", pa.array((h % U64(num_buckets)).astype(np.int32))
+        )
+
+    def rank(group: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        eid = group["event_id"].to_numpy()
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy()
+        digests = b"".join(md5(str(e).encode()).digest() for e in eid.tolist())
+        h = np.frombuffer(digests, dtype=">u8").reshape(-1, 2).astype(np.uint64)
+        order = np.lexsort((eid, h[:, 1], h[:, 0], codes))
+        codes_s = codes[order]
+        run_start = np.ones(len(codes_s), dtype=bool)
+        run_start[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(codes_s)))
+        batch_id = np.arange(len(codes_s)) - np.repeat(starts, lens)
+        out = np.empty(len(codes_s), dtype=np.int64)
+        out[order] = batch_id
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "event_type": et,
+                "batch_id": pa.array(out),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
 # --- T7/O7: deterministic negative sampling --------------------------------
 def negative_sampling(sf_dir: str, k: int = 2):
     """Per event ("mention"), ``k`` deterministic NEGATIVE event types

@@ -85,6 +85,7 @@ def test_driver_window_holds_oracle_bearing_queries():
     # the only oracle-bearing queries OUTSIDE the window are redundant
     # variants of in-window families (still verified by the local checker)
     assert oracles - set(window) == {
+        "unique_batcher",       # training-side extra (S4/O6), local-checked
         "sliding_window_counts",  # window family: windowed_agg in window
         "topk_global",          # same oracle as sort_limit (O3)
         "intersect_distinct",   # set-op family: union_distinct in window
