@@ -40,7 +40,39 @@ def _pad_matrix(arr: pa.Array | pa.ChunkedArray, max_len: int) -> tuple[np.ndarr
     return out, lens
 
 
+def _equal_mask(a, b) -> np.ndarray:
+    """Byte-equality per pair (vectorized Arrow compare).  Candidate
+    pairs in this engine are dominated by forks/copies whose path and
+    repo strings are IDENTICAL (~56% measured at sf0.01), and both
+    similarity kernels are exactly 1.0 on equal strings — so equal
+    pairs skip the O(len^2) DP / match-window work entirely."""
+    import pyarrow.compute as pc
+
+    eq = pc.equal(a, b)
+    if isinstance(eq, pa.ChunkedArray):
+        eq = eq.combine_chunks()
+    return pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+
+
+def _subset(arr, idx: np.ndarray):
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.take(pa.array(idx))
+
+
 def levenshtein_ratio(
+    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray, max_len: int = 128
+) -> np.ndarray:
+    """1 - dist/max(len) for each pair, float32 in [0, 1]."""
+    eq = _equal_mask(a, b)
+    out = np.ones(len(eq), dtype=np.float32)
+    todo = np.flatnonzero(~eq)
+    if len(todo):
+        out[todo] = _levenshtein_ratio_dp(_subset(a, todo), _subset(b, todo), max_len)
+    return out
+
+
+def _levenshtein_ratio_dp(
     a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray, max_len: int = 128
 ) -> np.ndarray:
     """1 - dist/max(len) for each pair, float32 in [0, 1].
@@ -90,7 +122,25 @@ def jaro_winkler(
     max_len: int = 64,
     prefix_weight: float = 0.1,
 ) -> np.ndarray:
-    """Jaro-Winkler similarity per pair, float32 in [0, 1], batch-vectorized."""
+    """Jaro-Winkler similarity per pair, float32 in [0, 1]."""
+    eq = _equal_mask(a, b)
+    out = np.ones(len(eq), dtype=np.float32)
+    todo = np.flatnonzero(~eq)
+    if len(todo):
+        out[todo] = _jaro_winkler_impl(
+            _subset(a, todo), _subset(b, todo), max_len, prefix_weight
+        )
+    return out
+
+
+def _jaro_winkler_impl(
+    a: pa.Array | pa.ChunkedArray,
+    b: pa.Array | pa.ChunkedArray,
+    max_len: int = 64,
+    prefix_weight: float = 0.1,
+) -> np.ndarray:
+    """Jaro-Winkler similarity per pair, batch-vectorized over the
+    match window per character position."""
     A, la = _pad_matrix(a, max_len)
     B, lb = _pad_matrix(b, max_len)
     p = len(la)

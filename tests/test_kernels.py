@@ -321,3 +321,27 @@ def test_scorer_gpu_knob_is_noop_at_zero():
 
     assert _gpu_args(ScoringConfig()) == {}
     assert _gpu_args(ScoringConfig(num_gpus=0.25)) == {"num_gpus": 0.25}
+
+
+def test_strsim_equal_fast_path_identical_to_dp():
+    """The equality fast path must be value-identical to the full DP on
+    equal strings (and leave unequal pairs untouched)."""
+    import pyarrow as pa
+
+    from mel_ray.functions.strsim import (
+        _jaro_winkler_impl,
+        _levenshtein_ratio_dp,
+        jaro_winkler,
+        levenshtein_ratio,
+    )
+
+    a = pa.array(["abc/def.py", "", "same", "kitten", "x" * 100])
+    b = pa.array(["abc/def.py", "", "same", "sitting", "x" * 100])
+    jw = jaro_winkler(a, b)
+    lev = levenshtein_ratio(a, b, max_len=64)
+    jw_full = _jaro_winkler_impl(a, b)
+    lev_full = _levenshtein_ratio_dp(a, b, max_len=64)
+    assert (jw == jw_full).all()
+    assert (lev == lev_full).all()
+    assert jw[0] == jw[1] == jw[2] == 1.0
+    assert lev[4] == 1.0
