@@ -13,6 +13,17 @@ implemented here:
   short).
 * ``jaro_winkler`` — vectorized over the pair batch per character
   position (match-window flagging with NumPy boolean ops).
+
+Both kernels apply two *exact* (bit-identical) cost cuts on top of the
+byte-equal skip:
+
+* Levenshtein strips the common prefix and suffix per pair before the
+  DP — edit operations never touch them, so ``dist(xa·s, xb·s) ==
+  dist(a, b)`` — which collapses fork/near-dup paths that differ in one
+  segment to a tiny DP.
+* Both kernels then *length-bucket* the surviving pairs (<=8, <=16,
+  <=32, ...) and run each bucket at its own matrix width, so one long
+  outlier pair no longer widens the whole batch's O(p*m*n) sweep.
 """
 
 from __future__ import annotations
@@ -24,13 +35,17 @@ from .hashing import string_array_buffers
 
 
 def _pad_matrix(arr: pa.Array | pa.ChunkedArray, max_len: int) -> tuple[np.ndarray, np.ndarray]:
-    """(P, max_len) uint8 char matrix (0-padded) + lengths, zero-copy-ish."""
+    """(P, w) uint8 char matrix (0-padded) + lengths, zero-copy-ish.
+
+    ``w = min(max_len, longest string in the batch)`` — every kernel
+    below reads only columns ``< len``, so the tight width is
+    output-identical and keeps the boolean/int16 sweeps narrow."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     data, offsets = string_array_buffers(arr)
     lens = np.minimum(offsets[1:] - offsets[:-1], max_len).astype(np.int64)
     p = len(lens)
-    out = np.zeros((p, max_len), dtype=np.uint8)
+    out = np.zeros((p, max(int(lens.max(initial=0)), 1)), dtype=np.uint8)
     total = int(lens.sum())
     if total:
         row = np.repeat(np.arange(p), lens)
@@ -72,25 +87,18 @@ def levenshtein_ratio(
     return out
 
 
-def _levenshtein_ratio_dp(
-    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray, max_len: int = 128
-) -> np.ndarray:
-    """1 - dist/max(len) for each pair, float32 in [0, 1].
+def _dp_dist(A: np.ndarray, B: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Batched Levenshtein DP core over pre-padded char matrices.
 
     DP rows advance together for the whole batch: ``cur[j]`` is a vector
-    over pairs.  Complexity O(max_len^2) NumPy ops of width P.
+    over pairs.  Complexity O(m*n) NumPy ops of width P.
     """
-    A, la = _pad_matrix(a, max_len)
-    B, lb = _pad_matrix(b, max_len)
     p = len(la)
-    if p == 0:
-        return np.empty(0, dtype=np.float32)
     m = int(la.max(initial=0))
     n = int(lb.max(initial=0))
-    # int16 DP: distances are bounded by m+n <= 2*max_len, far inside
-    # int16 — and the DP is memory-bandwidth-bound, so halving the cell
-    # width is ~1.7x on the scorer's hottest kernel (values identical)
-    assert max_len <= 8192, "int16 DP holds distances <= 2*max_len"
+    # int16 DP: distances are bounded by m+n — and the DP is
+    # memory-bandwidth-bound, so halving the cell width is ~1.7x on the
+    # scorer's hottest kernel (values identical)
     ramp = np.arange(n + 1, dtype=np.int16)
     prev = np.broadcast_to(ramp, (p, n + 1)).copy()
     # mask positions beyond each string's length so they never win the min
@@ -108,7 +116,79 @@ def _levenshtein_ratio_dp(
         done = la < i
         cur[done] = prev[done]
         prev = cur
-    dist = prev[np.arange(p), lb]
+    return prev[np.arange(p), lb].astype(np.int64)
+
+
+_LEN_BUCKETS = (8, 16, 32, 64)
+
+
+def _levenshtein_ratio_dp(
+    a: pa.Array | pa.ChunkedArray, b: pa.Array | pa.ChunkedArray, max_len: int = 128
+) -> np.ndarray:
+    """1 - dist/max(len) for each pair, float32 in [0, 1].
+
+    Exactly the DP distance on the ``max_len``-truncated strings, but
+    computed after stripping each pair's common prefix and suffix (edit
+    operations never touch them) and length-bucketing the remainders so
+    each bucket's DP runs at its own width.
+    """
+    assert max_len <= 8192, "int16 DP holds distances <= 2*max_len"
+    A, la = _pad_matrix(a, max_len)
+    B, lb = _pad_matrix(b, max_len)
+    p = len(la)
+    if p == 0:
+        return np.empty(0, dtype=np.float32)
+    minlen = np.minimum(la, lb)
+
+    # --- common prefix: first column where chars differ (or minlen) ---
+    wp = int(minlen.max(initial=0))
+    if wp:
+        jc = np.arange(wp)
+        stop = (A[:, :wp] != B[:, :wp]) | (jc[None, :] >= minlen[:, None])
+        pref = np.where(stop.any(axis=1), np.argmax(stop, axis=1), minlen)
+    else:
+        pref = np.zeros(p, dtype=np.int64)
+
+    # --- common suffix of the prefix-stripped remainders ---
+    rem = minlen - pref
+    wr = int(rem.max(initial=0))
+    if wr:
+        kc = np.arange(wr)
+        rows = np.arange(p)[:, None]
+        valid = kc[None, :] < rem[:, None]
+        ca = np.where(valid, la[:, None] - 1 - kc[None, :], 0)
+        cb = np.where(valid, lb[:, None] - 1 - kc[None, :], 0)
+        stop_r = (A[rows, ca] != B[rows, cb]) | ~valid
+        suff = np.where(stop_r.any(axis=1), np.argmax(stop_r, axis=1), rem)
+    else:
+        suff = np.zeros(p, dtype=np.int64)
+
+    la2 = la - pref - suff
+    lb2 = lb - pref - suff
+    # one side empty after stripping -> dist is just the other's length
+    dist = np.maximum(la2, lb2)
+
+    nontriv = np.flatnonzero((la2 > 0) & (lb2 > 0))
+    if len(nontriv):
+        w2 = np.maximum(la2, lb2)
+        lo = 0
+        for bound in (*_LEN_BUCKETS, max_len):
+            if lo >= max_len:
+                break
+            sel = nontriv[(w2[nontriv] > lo) & (w2[nontriv] <= bound)]
+            lo = bound
+            if not len(sel):
+                continue
+            las, lbs = la2[sel], lb2[sel]
+            wa, wb = int(las.max()), int(lbs.max())
+            colsa = np.arange(wa)[None, :]
+            colsb = np.arange(wb)[None, :]
+            rows = sel[:, None]
+            ps = pref[sel][:, None]
+            Asub = np.where(colsa < las[:, None], A[rows, np.minimum(ps + colsa, A.shape[1] - 1)], 0)
+            Bsub = np.where(colsb < lbs[:, None], B[rows, np.minimum(ps + colsb, B.shape[1] - 1)], 0)
+            dist[sel] = _dp_dist(Asub, Bsub, las, lbs)
+
     denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
     out = 1.0 - dist.astype(np.float32) / denom
     both_empty = (la == 0) & (lb == 0)
@@ -139,19 +219,48 @@ def _jaro_winkler_impl(
     max_len: int = 64,
     prefix_weight: float = 0.1,
 ) -> np.ndarray:
-    """Jaro-Winkler similarity per pair, batch-vectorized over the
-    match window per character position."""
+    """Jaro-Winkler similarity per pair: length-bucketed so each bucket's
+    match-window sweep runs at its own matrix width."""
     A, la = _pad_matrix(a, max_len)
     B, lb = _pad_matrix(b, max_len)
     p = len(la)
     if p == 0:
         return np.empty(0, dtype=np.float32)
+    out = np.ones(p, dtype=np.float32)  # w == 0 (both empty) -> 1.0
+    w = np.maximum(la, lb)
+    lo = 0
+    for bound in (*_LEN_BUCKETS, max_len):
+        if lo >= max_len:
+            break
+        sel = np.flatnonzero((w > lo) & (w <= bound))
+        lo = bound
+        if not len(sel):
+            continue
+        wa = min(A.shape[1], bound)
+        wb = min(B.shape[1], bound)
+        out[sel] = _jw_core(
+            A[sel, :wa], B[sel, :wb], la[sel], lb[sel], prefix_weight
+        )
+    return out
+
+
+def _jw_core(
+    A: np.ndarray,
+    B: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+    prefix_weight: float,
+) -> np.ndarray:
+    """Jaro-Winkler over pre-padded char matrices, batch-vectorized over
+    the match window per character position."""
+    p = len(la)
     m = int(max(la.max(initial=0), lb.max(initial=0)))
+    wb = B.shape[1]
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
 
-    matched_a = np.zeros((p, max_len), dtype=bool)
-    matched_b = np.zeros((p, max_len), dtype=bool)
-    jcols = np.arange(max_len)
+    matched_a = np.zeros((p, A.shape[1]), dtype=bool)
+    matched_b = np.zeros((p, wb), dtype=bool)
+    jcols = np.arange(wb)
     for i in range(m):
         active = i < la
         if not active.any():
@@ -194,9 +303,10 @@ def _jaro_winkler_impl(
     both_empty = (la == 0) & (lb == 0)
     jaro[both_empty] = 1.0
 
-    # Winkler prefix boost (common prefix up to 4)
+    # Winkler prefix boost (common prefix up to 4; the boost needs
+    # i < la and i < lb anyway, so capping at the matrix widths is exact)
     pref = np.zeros(p, dtype=np.int64)
-    upto = min(4, max_len)
+    upto = min(4, A.shape[1], wb)
     still = np.ones(p, dtype=bool)
     for i in range(upto):
         eq = (A[:, i] == B[:, i]) & (i < la) & (i < lb) & still
