@@ -119,6 +119,71 @@ def _dp_dist(A: np.ndarray, B: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np
     return prev[np.arange(p), lb].astype(np.int64)
 
 
+def _dp_dist_myers(A: np.ndarray, B: np.ndarray, la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Myers bit-parallel Levenshtein over pre-padded char matrices,
+    batch-vectorized over pairs (Myers 1999 / Hyyrö 2001).
+
+    Each pair's DP column lives in ONE uint64 (requires ``la <= 64``),
+    so a text character advances the whole batch with ~12 uint64 vector
+    ops instead of the classic DP's O(m) int16-row sweeps — exact same
+    distances, ~m× less memory traffic on the scorer's hottest kernel.
+    """
+    p = len(la)
+    m = int(la.max(initial=0))
+    n = int(lb.max(initial=0))
+    assert m <= 64, "Myers kernel requires pattern length <= 64"
+    rows = np.arange(p)
+    one = np.uint64(1)
+
+    # Peq[r, c] = bitmask of positions i where A[r, i] == c
+    peq = np.zeros((p, 256), dtype=np.uint64)
+    for i in range(m):
+        act = i < la
+        peq[rows[act], A[act, i]] |= np.uint64(1 << i)
+
+    vp = np.full(p, ~np.uint64(0))
+    vn = np.zeros(p, dtype=np.uint64)
+    score = la.astype(np.int64).copy()
+    highbit = np.left_shift(one, (la - 1).astype(np.uint64))
+    zero64 = np.uint64(0)
+    for j in range(n):
+        active = j < lb
+        eq = peq[rows, B[:, j]]
+        xv = eq | vn
+        xh = (((eq & vp) + vp) ^ vp) | eq
+        hp = vn | ~(xh | vp)
+        hn = vp & xh
+        score += ((hp & highbit) != zero64) & active
+        score -= ((hn & highbit) != zero64) & active
+        hp = (hp << one) | one
+        hn = hn << one
+        vp = hn | ~(xv | hp)
+        vn = hp & xv
+    return score
+
+
+# buckets at/under this width run the classic DP: for tiny strings the
+# Myers Peq table build/gather costs more than an 8-wide int16 sweep
+_MYERS_MIN_WIDTH = 16
+
+# pair-chunk for the bit-parallel kernels: both allocate a (p, 256)
+# uint64 Peq table (2 KB/pair), and first-touch page faults run ~100 MB/s
+# on cgroup-limited hosts — chunking bounds the table at ~8 MB so it
+# stays inside the worker's warm malloc pool across calls
+_BITS_CHUNK = 4096
+
+
+def _chunked(kernel, A, B, la, lb, *args) -> np.ndarray:
+    p = len(la)
+    if p <= _BITS_CHUNK:
+        return kernel(A, B, la, lb, *args)
+    outs = [
+        kernel(A[o : o + _BITS_CHUNK], B[o : o + _BITS_CHUNK],
+               la[o : o + _BITS_CHUNK], lb[o : o + _BITS_CHUNK], *args)
+        for o in range(0, p, _BITS_CHUNK)
+    ]
+    return np.concatenate(outs)
+
 _LEN_BUCKETS = (8, 16, 32, 64)
 
 
@@ -187,7 +252,13 @@ def _levenshtein_ratio_dp(
             ps = pref[sel][:, None]
             Asub = np.where(colsa < las[:, None], A[rows, np.minimum(ps + colsa, A.shape[1] - 1)], 0)
             Bsub = np.where(colsb < lbs[:, None], B[rows, np.minimum(ps + colsb, B.shape[1] - 1)], 0)
-            dist[sel] = _dp_dist(Asub, Bsub, las, lbs)
+            if bound > _MYERS_MIN_WIDTH and wa > 64 and wb <= 64:
+                # Levenshtein is symmetric; make the <=64 side the pattern
+                Asub, Bsub, las, lbs, wa, wb = Bsub, Asub, lbs, las, wb, wa
+            if bound > _MYERS_MIN_WIDTH and wa <= 64:
+                dist[sel] = _chunked(_dp_dist_myers, Asub, Bsub, las, lbs)
+            else:
+                dist[sel] = _dp_dist(Asub, Bsub, las, lbs)
 
     denom = np.maximum(np.maximum(la, lb), 1).astype(np.float32)
     out = 1.0 - dist.astype(np.float32) / denom
@@ -238,9 +309,12 @@ def _jaro_winkler_impl(
             continue
         wa = min(A.shape[1], bound)
         wb = min(B.shape[1], bound)
-        out[sel] = _jw_core(
-            A[sel, :wa], B[sel, :wb], la[sel], lb[sel], prefix_weight
-        )
+        if bound > _MYERS_MIN_WIDTH and bound <= 64:
+            out[sel] = _chunked(
+                _jw_core_bits, A[sel, :wa], B[sel, :wb], la[sel], lb[sel], prefix_weight
+            )
+        else:
+            out[sel] = _jw_core(A[sel, :wa], B[sel, :wb], la[sel], lb[sel], prefix_weight)
     return out
 
 
@@ -281,6 +355,75 @@ def _jw_core(
         matched_b[rows, first[rows]] = True
         matched_a[rows, i] = True
 
+    return _jw_finish(A, B, la, lb, matched_a, matched_b, prefix_weight)
+
+
+def _jw_core_bits(
+    A: np.ndarray,
+    B: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+    prefix_weight: float,
+) -> np.ndarray:
+    """Bit-parallel Jaro match loop: each pair's matched-in-``b`` set and
+    match window live in ONE uint64 (requires ``lb <= 64``), so one
+    pattern position advances the whole batch with ~10 uint64 vector ops
+    instead of O(len_b)-wide boolean matrix sweeps.  Greedy first-free-
+    candidate semantics (lowest set bit) are identical to the matrix
+    path; outputs are bit-identical."""
+    p = len(la)
+    m = int(la.max(initial=0))
+    wb = B.shape[1]
+    assert wb <= 64, "bit-parallel JW requires len_b <= 64"
+    rows = np.arange(p)
+    one = np.uint64(1)
+    full = ~np.uint64(0)
+    zero = np.uint64(0)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+
+    # PeqB[r, c] = bitmask of positions j < lb where B[r, j] == c
+    peq = np.zeros((p, 256), dtype=np.uint64)
+    for j in range(wb):
+        act = j < lb
+        peq[rows[act], B[act, j]] |= np.uint64(1 << j)
+
+    def lowbits(x: np.ndarray) -> np.ndarray:
+        # (1 << x) - 1, exact at x == 64 (shift-by-width is UB)
+        x = np.asarray(x)
+        shifted = np.left_shift(one, np.where(x >= 64, 0, x).astype(np.uint64)) - one
+        return np.where(x >= 64, full, shifted)
+
+    matched_b = np.zeros(p, dtype=np.uint64)
+    matched_a = np.zeros((p, A.shape[1]), dtype=bool)
+    for i in range(m):
+        active_mask = np.where(i < la, full, zero)
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(i + window + 1, lb)
+        wmask = lowbits(hi) & ~lowbits(lo)
+        cand = peq[rows, A[:, i]] & wmask & ~matched_b & active_mask
+        lowbit = cand & (~cand + one)  # first free candidate j
+        matched_b |= lowbit
+        matched_a[:, i] = cand != zero
+
+    mb = (
+        (matched_b[:, None] >> np.arange(wb, dtype=np.uint64)[None, :]) & one
+    ).astype(bool)
+    return _jw_finish(A, B, la, lb, matched_a, mb, prefix_weight)
+
+
+def _jw_finish(
+    A: np.ndarray,
+    B: np.ndarray,
+    la: np.ndarray,
+    lb: np.ndarray,
+    matched_a: np.ndarray,
+    matched_b: np.ndarray,
+    prefix_weight: float,
+) -> np.ndarray:
+    """Shared Jaro-Winkler tail: transpositions over the matched chars,
+    the Jaro combination, and the Winkler prefix boost."""
+    p = len(la)
+    wb = B.shape[1]
     mcount = matched_a.sum(axis=1).astype(np.float64)
 
     # transpositions: compare matched chars of a (in order) vs matched of b

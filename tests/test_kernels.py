@@ -188,6 +188,61 @@ class TestStringSim:
         for a, b, g in zip(A, B, got):
             assert abs(g - _naive_jw(a, b)) < 1e-5, (a, b, g)
 
+    def test_myers_kernel_matches_classic_dp(self):
+        """The bit-parallel Myers path (buckets wider than
+        _MYERS_MIN_WIDTH) must be distance-identical to the classic DP
+        and the naive oracle — long, correlated, path-like strings."""
+        from mel_ray.functions.strsim import _dp_dist, _dp_dist_myers
+
+        random.seed(23)
+        A, B = [], []
+        for _ in range(400):
+            la, lb = random.randint(0, 70), random.randint(0, 70)
+            a = "".join(random.choice("abcdxy/_.") for _ in range(la))
+            b = "".join(random.choice("abcdxy/_.") for _ in range(lb))
+            if random.random() < 0.5:  # shared prefixes, like fork paths
+                b = a[: random.randint(0, la)] + b
+            A.append(a), B.append(b)
+        got = levenshtein_ratio(pa.array(A), pa.array(B), max_len=64)
+        for a, b, g in zip(A, B, got):
+            a, b = a[:64], b[:64]
+            exp = 1.0 if (not a and not b) else 1 - _naive_lev(a, b) / max(len(a), len(b), 1)
+            assert abs(g - exp) < 1e-6, (a, b, g, exp)
+        # kernel-vs-kernel on random padded matrices (all lengths 1..64)
+        rng = np.random.default_rng(5)
+        p = 300
+        la = rng.integers(1, 65, p)
+        lb = rng.integers(1, 65, p)
+        Am = rng.integers(97, 123, (p, 64), dtype=np.uint8) * (np.arange(64) < la[:, None])
+        Bm = rng.integers(97, 123, (p, 64), dtype=np.uint8) * (np.arange(64) < lb[:, None])
+        assert (_dp_dist(Am, Bm, la, lb) == _dp_dist_myers(Am, Bm, la, lb)).all()
+
+    def test_jw_bits_matches_matrix_core(self):
+        """The bit-parallel Jaro match loop must be bit-identical to the
+        boolean-matrix core on long strings (both vs the naive oracle)."""
+        import mel_ray.functions.strsim as strsim
+
+        random.seed(31)
+        A, B = [], []
+        for _ in range(400):
+            la, lb = random.randint(0, 64), random.randint(0, 64)
+            a = "".join(random.choice("abcdxy/_.") for _ in range(la))
+            b = "".join(random.choice("abcdxy/_.") for _ in range(lb))
+            if random.random() < 0.5:
+                b = a[: random.randint(0, la)] + b[:64 - min(la, lb)]
+            A.append(a), B.append(b[:64])
+        Aa, Bb = pa.array(A), pa.array(B)
+        got_bits = jaro_winkler(Aa, Bb)
+        saved = strsim._MYERS_MIN_WIDTH
+        try:
+            strsim._MYERS_MIN_WIDTH = 10_000  # force the matrix core
+            got_matrix = jaro_winkler(Aa, Bb)
+        finally:
+            strsim._MYERS_MIN_WIDTH = saved
+        assert (got_bits == got_matrix).all()
+        for a, b, g in zip(A, B, got_bits):
+            assert abs(g - _naive_jw(a, b)) < 1e-5, (a, b, g)
+
 
 class TestEmbed:
     def test_self_similarity_and_ordering(self):
