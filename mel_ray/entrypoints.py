@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_f1_metrics": corpusops.linkage_f1_metrics,
         # ================= position > 50: outside the driver window ====
         "unique_batcher": relational.unique_batcher,
+        "grouped_stats": relational.grouped_stats,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "blocking_quality": corpusops.blocking_quality,
         "cluster_reps": corpusops.cluster_reps,
@@ -407,6 +408,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mean_agg": """
             SELECT l_returnflag, round(avg(l_quantity), 4) AS avg_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "grouped_stats": """
+            -- variance spelled as the same float64 expression tree the
+            -- Ray finalizer uses (ss/n - (s/n)^2 over exact integer
+            -- sums), so values match bit-for-bit without rounding
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   sum(l_quantity) / count(*) AS mean_qty,
+                   sum(l_quantity * l_quantity) / count(*)
+                     - (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*))
+                     AS var_qty,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
             FROM lineitem GROUP BY 1
         """,
         "windowed_agg": """

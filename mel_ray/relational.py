@@ -408,6 +408,66 @@ def mean_agg(sf_dir: str):
     return out.map_batches(_round_cols(["avg_qty"], nd=4), batch_format="pyarrow")
 
 
+# --- T10: streaming grouped statistics (RunningAverages analog) ------------
+def grouped_stats(sf_dir: str):
+    """Per-key streaming statistics: count, mean, population variance,
+    min, max — the dataflow form of the reference's ``RunningAverages``
+    telemetry (utils/running_averages.py:4-58), generalized from a
+    bounded deque to exact distributed moments.
+
+    Scale shape: each batch emits ONE partial row per key (count, sum,
+    sum-of-squares, min, max — all associative), so the shuffle is
+    key-sized, not row-sized; moments are finalized after the combine.
+    The variance expression mirrors the oracle SQL operation-for-
+    operation (exact integer-valued sums in float64), so values are
+    bit-identical to DuckDB's."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.float64())
+        t2 = pa.table(
+            {"l_returnflag": t["l_returnflag"], "q": q, "qq": pc.multiply(q, q)}
+        )
+        g = t2.group_by(["l_returnflag"]).aggregate(
+            [("q", "sum"), ("qq", "sum"), ("q", "min"), ("q", "max"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "s", "ss", "mn", "mx", "n"]
+        )
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Min("mn", alias_name="min_qty"),
+            Max("mx", alias_name="max_qty"),
+            Sum("n", alias_name="n_rows"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_rows"], pa.float64())
+        mean = pc.divide(t["s"], n)
+        # same expression tree as the oracle: ss/n - (s/n)*(s/n)
+        var = pc.subtract(pc.divide(t["ss"], n), pc.multiply(mean, mean))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+                "mean_qty": mean,
+                "var_qty": var,
+                "min_qty": t["min_qty"],
+                "max_qty": t["max_qty"],
+            }
+        )
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
+
+
 # --- A5: grouped count -> normalized distribution --------------------------
 def event_type_distribution(sf_dir: str):
     """count per event_type + normalized share (A5,
