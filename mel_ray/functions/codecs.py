@@ -70,6 +70,29 @@ def decode_bmp(payload: bytes | memoryview) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def decode_image(payload: bytes | memoryview) -> np.ndarray:
+    """Image bytes -> (H, W, 3) uint8 RGB, dispatched on magic bytes:
+    ``BM`` -> BMP, ``FF D8`` -> baseline JPEG (functions/jpeg.py)."""
+    head = bytes(memoryview(payload)[:2])
+    if head == b"BM":
+        return decode_bmp(payload)
+    if head == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise CodecError("unrecognized image format (expected BMP or JPEG)")
+
+
+def encode_image_like(img: np.ndarray, like: bytes | memoryview) -> bytes:
+    """Encode ``img`` in the same container format as ``like``'s payload
+    (keeps a resize stage format-preserving)."""
+    if bytes(memoryview(like)[:2]) == b"\xff\xd8":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(img)
+    return encode_bmp(img)
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize of (H, W, C) via two index gathers."""
     h, w = img.shape[:2]

@@ -4,13 +4,14 @@ Treats media as opaque ``binary`` columns with typed metadata, processed
 by actor-pool ``map_batches`` stages — the same stage shape as the
 bi-encoder embedder (reference T1, ``utils/embeddings.py:55-175``).
 
-Codecs: ``decoder="real"`` decodes BMP (24-bit) images, WAV (PCM16)
-audio, and uncompressed-DIB AVI video with the pure-NumPy parsers in
-:mod:`mel_ray.functions.codecs` — no external libraries; compressed
-formats (JPEG/H.264/...) would plug into the same ``_decode_one`` /
-demux call sites.  ``decoder="fake"`` keeps the deterministic
-content-derived pseudo decode used by the oracle-less driver queries
-(stable across codec changes).
+Codecs: ``decoder="real"`` decodes BMP (24-bit) and baseline JPEG
+images, WAV (PCM16) audio, and uncompressed-DIB AVI video with the
+pure-NumPy parsers in :mod:`mel_ray.functions.codecs` /
+:mod:`mel_ray.functions.jpeg` — no external libraries; further
+compressed formats (H.264/MP3/...) would plug into the same
+``_decode_one`` / demux call sites.  ``decoder="fake"`` keeps the
+deterministic content-derived pseudo decode used by the oracle-less
+driver queries (stable across codec changes).
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ class MediaFeatureExtractor:
             from ..functions import codecs
 
             if kind == "image":
-                img = codecs.decode_bmp(payload)
+                img = codecs.decode_image(payload)  # BMP or baseline JPEG
                 # luma signal, stride-capped to bound the basis matmul
                 sig = img.astype(np.float32).mean(axis=2).reshape(-1)
                 stride = max(1, len(sig) // 4096)
@@ -143,8 +144,13 @@ class MediaResizer:
             from ..functions import codecs
 
             for i in range(len(batch)):  # per-media codec call is per-row
-                img = codecs.decode_bmp(payloads[i].as_buffer())
-                out.append(codecs.encode_bmp(codecs.resize_nearest(img, self.tw, self.th)))
+                buf = payloads[i].as_buffer()
+                img = codecs.decode_image(buf)  # BMP or baseline JPEG
+                out.append(
+                    codecs.encode_image_like(
+                        codecs.resize_nearest(img, self.tw, self.th), buf
+                    )
+                )
             n = len(batch)
             return pa.table(
                 {
@@ -290,9 +296,14 @@ def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -
         for kind in kinds:
             if kind == "image":
                 w, h = int(rng.randint(4, 48)), int(rng.randint(4, 48))
-                payloads.append(
-                    codecs.encode_bmp(rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
-                )
+                img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+                if rng.rand() < 0.5:  # half BMP, half baseline JPEG
+                    payloads.append(codecs.encode_bmp(img))
+                else:
+                    from ..functions.jpeg import encode_jpeg
+
+                    sub = "420" if rng.rand() < 0.5 else "444"
+                    payloads.append(encode_jpeg(img, quality=90, subsample=sub))
             elif kind == "audio":
                 samples = (rng.randn(int(rng.randint(64, 2048))) * 8192).astype(np.int16)
                 payloads.append(codecs.encode_wav(samples, 16000))
