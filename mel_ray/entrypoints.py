@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= position > 50: outside the driver window ====
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
+        "bloom_semi_join": relational.bloom_semi_join,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "blocking_quality": corpusops.blocking_quality,
         "cluster_reps": corpusops.cluster_reps,
@@ -350,6 +351,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        """,
+        "bloom_semi_join": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders
                                 WHERE o_orderpriority = '1-URGENT')

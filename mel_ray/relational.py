@@ -281,6 +281,86 @@ def anti_join(sf_dir: str):
     )
 
 
+def bloom_semi_join(sf_dir: str):
+    """Same result as :func:`semi_join`, via the 100-TB join plan: a
+    compact broadcast Bloom filter pre-filters the probe side inside
+    ``map_batches`` before the exact membership check.
+
+    Scale shape: at 100 TB the probe side cannot be shuffled and the
+    build-side key SET may be too big to broadcast — but its Bloom
+    bitset (~2 bytes/key at 0.05% fpp) fits any worker heap.  The
+    bitset is assembled by ONE Ray task from the materialized key
+    blocks (the driver only holds refs, the `_collect_features_ref`
+    pattern) and shared via the object store (`ray.put` once,
+    zero-copy `ray.get` per task).  The Bloom pass drops the
+    non-matching bulk; the exact verify then runs on the survivors
+    only (here the broadcast key set; at scale, a partitioned
+    semi-join over the ~key-sized remainder).  False positives are
+    removed by the verify, so results are exact — the oracle is the
+    plain semi-join SQL."""
+    _BLOOM_K = 8
+
+    keys_ds = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    refs = keys_ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def build_bloom(*tables):
+        import numpy as _np
+        import pyarrow as _pa
+
+        from .functions.hashing import splitmix64
+
+        keys = _pa.concat_tables([t for t in tables if len(t)])["o_custkey"]
+        x = _np.unique(keys.to_numpy(zero_copy_only=False)).astype(_np.uint64)
+        n = max(len(x), 1)
+        m = 1 << max(int(n * 16 - 1).bit_length(), 10)  # pow2 >= 16n
+        h1 = splitmix64(x ^ _np.uint64(0x9E3779B97F4A7C15))
+        h2 = splitmix64(x ^ _np.uint64(0xC2B2AE3D27D4EB4F)) | _np.uint64(1)
+        bits = _np.zeros(m // 64, dtype=_np.uint64)
+        mask = _np.uint64(m - 1)
+        for i in range(_BLOOM_K):
+            idx = (h1 + _np.uint64(i) * h2) & mask
+            _np.bitwise_or.at(bits, (idx >> _np.uint64(6)), _np.uint64(1) << (idx & _np.uint64(63)))
+        exact = _np.sort(x)
+        return bits, exact
+
+    bloom_ref = build_bloom.remote(*refs)
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        from .functions.hashing import splitmix64
+
+        bits, exact = ray.get(bloom_ref)  # zero-copy plasma read per task
+        x = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = np.uint64(len(bits) * 64)
+        mask = m - np.uint64(1)
+        h1 = splitmix64(x ^ np.uint64(0x9E3779B97F4A7C15))
+        h2 = splitmix64(x ^ np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        hit = np.ones(len(x), dtype=bool)
+        for i in range(_BLOOM_K):
+            idx = (h1 + np.uint64(i) * h2) & mask
+            hit &= (bits[(idx >> np.uint64(6))] >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        t = t.filter(pa.array(hit))  # Bloom pre-filter (no false negatives)
+        # exact verify on the survivors only (kills false positives)
+        xs = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(exact) == 0:
+            return t.filter(pa.array(np.zeros(len(xs), dtype=bool)))
+        pos = np.minimum(np.searchsorted(exact, xs), len(exact) - 1)
+        return t.filter(pa.array(exact[pos] == xs))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 # --- D1/D3: union + distinct ----------------------------------------------
 def union_distinct(sf_dir: str):
     """distinct nation keys present in customer ∪ supplier (ChainStep +

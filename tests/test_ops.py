@@ -710,3 +710,13 @@ class TestEventAndSampleOps:
         # every rank distance 1..w-1 appears; pairs are unique
         assert sorted(got.dist.unique()) == list(range(1, w))
         assert not got.duplicated(["id_a", "id_b"]).any()
+
+
+    def test_bloom_semi_join_equals_exact_semi_join(self):
+        """The Bloom-prefiltered plan must return exactly the broadcast
+        semi-join's rows (false positives killed by the verify pass)."""
+        from mel_ray.relational import bloom_semi_join, semi_join
+
+        a = bloom_semi_join(SF).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+        b = semi_join(SF).to_pandas().sort_values("c_custkey").reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
