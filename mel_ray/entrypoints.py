@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
+        "token_pack": textops.token_pack,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "blocking_quality": corpusops.blocking_quality,
         "cluster_reps": corpusops.cluster_reps,
@@ -581,6 +582,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '{tok}')) AS n_tokens
             FROM documents
+        """,
+        "token_pack": f"""
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 4096 AS BIGINT) AS batch_id
+            FROM (SELECT doc_id,
+                         CAST(length(regexp_extract_all(text, '{tok}')) AS BIGINT)
+                           AS n_tokens,
+                         SUM(length(regexp_extract_all(text, '{tok}')))
+                           OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM documents)
         """,
         "doc_bpe_token_count": f"""
             SELECT doc_id,

@@ -61,6 +61,71 @@ def doc_token_count(sf_dir: str):
     )
 
 
+def token_pack(sf_dir: str, budget: int = 4096):
+    """Pack documents (in doc_id order) into fixed token-budget training
+    batches: ``batch_id = tokens_before_this_doc // budget``.
+
+    The running token count is a DISTRIBUTED PREFIX SCAN — the one
+    dataflow shape Ray Data's Dataset API lacks natively — done the
+    scale-correct way: per-block token sums (k integers to the driver,
+    k = #blocks), exclusive per-block offsets, then one remote task per
+    block adds ``offset + local cumsum``.  No worker holds more than
+    its block; the driver holds k integers.  Covers the epoch-packing
+    contract of the reference's tensor writer (S10-adjacent,
+    ``finetunings/generate_epochs/datasets.py``) as a first-class query
+    with a window-function SQL oracle.
+
+    Relies on ``to_arrow_refs()`` returning blocks in global sorted
+    order (the same contract ``sorted_neighborhood_pairs`` uses); the
+    monotonicity assertion pins it at runtime."""
+    import ray
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "n_tokens": pc.cast(TS.token_count(t["text"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("doc_id")
+    )
+    refs = ds.materialize().to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def block_meta(tbl: pa.Table):
+        ids = tbl["doc_id"].to_numpy()
+        if len(ids) == 0:
+            return None, None, 0
+        return int(ids[0]), int(ids[-1]), int(tbl["n_tokens"].to_numpy().sum())
+
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    nonempty = [m for m in metas if m[0] is not None]
+    assert all(
+        a[1] <= b[0] for a, b in zip(nonempty, nonempty[1:])
+    ), "sorted Dataset blocks arrived out of global order"
+    sums = np.array([m[2] for m in metas], dtype=np.int64)
+    offsets = np.cumsum(sums) - sums  # exclusive prefix per block
+
+    @ray.remote(num_cpus=0.25)
+    def assign(tbl: pa.Table, off: int) -> pa.Table:
+        toks = tbl["n_tokens"].to_numpy()
+        before = off + np.cumsum(toks) - toks
+        return pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_tokens": tbl["n_tokens"],
+                "batch_id": pa.array(before // budget),
+            }
+        )
+
+    out_refs = [assign.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def doc_bpe_token_count(sf_dir: str):
     """BPE-ish pre-token count per doc (M6/M7 tokenizer-stage analogue:
     the per-document token budget a training pipeline bins by; both

@@ -720,3 +720,14 @@ class TestEventAndSampleOps:
         a = bloom_semi_join(SF).to_pandas().sort_values("c_custkey").reset_index(drop=True)
         b = semi_join(SF).to_pandas().sort_values("c_custkey").reset_index(drop=True)
         assert a.equals(b) and len(a) > 0
+
+
+    def test_token_pack_matches_naive_prefix_scan(self):
+        """Distributed prefix-scan packing == single-process cumsum."""
+        from mel_ray.textops import doc_token_count, token_pack
+
+        got = token_pack(SF, budget=1000).to_pandas().sort_values("doc_id")
+        toks = doc_token_count(SF).to_pandas().sort_values("doc_id")
+        cum = toks.n_tokens.cumsum() - toks.n_tokens
+        assert (got.n_tokens.values == toks.n_tokens.values).all()
+        assert (got.batch_id.values == (cum // 1000).values).all()
