@@ -156,28 +156,48 @@ def decode_wav(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
 # --------------------------------------------------------------------------
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(F, H, W, 3) uint8 RGB -> uncompressed AVI bytes (DIB frames)."""
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def encode_avi(
+    frames: np.ndarray, fps: int = 10, codec: str = "dib", quality: int = 85
+) -> bytes:
+    """(F, H, W, 3) uint8 RGB -> AVI bytes.
+
+    ``codec="dib"``: uncompressed 24-bit DIB frames (``00db`` chunks).
+    ``codec="mjpg"``: Motion-JPEG — each frame is a baseline JPEG
+    (functions/jpeg.py) in a ``00dc`` chunk, biCompression='MJPG'."""
     if frames.ndim != 4 or frames.shape[3] != 3 or frames.dtype != np.uint8:
         raise CodecError("encode_avi expects (F, H, W, 3) uint8")
+    if codec not in ("dib", "mjpg"):
+        raise CodecError("codec must be 'dib' or 'mjpg'")
     f, h, w, _ = frames.shape
     if f == 0 or fps <= 0:
         raise CodecError("encode_avi needs >= 1 frame and fps > 0")
     row_bytes = (w * 3 + 3) & ~3
-    frame_size = row_bytes * h
-    rows = np.zeros((f, h, row_bytes), dtype=np.uint8)
-    rows[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(f, h, w * 3)
+    if codec == "dib":
+        frame_size = row_bytes * h
+        rows = np.zeros((f, h, row_bytes), dtype=np.uint8)
+        rows[:, :, : w * 3] = frames[:, ::-1, :, ::-1].reshape(f, h, w * 3)
+        payloads = [rows[i].tobytes() for i in range(f)]
+        handler, comp, frame_cid = b"DIB ", 0, b"00db"
+    else:
+        from .jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(frames[i], quality=quality) for i in range(f)]
+        frame_size = max(len(p) for p in payloads)
+        handler, comp, frame_cid = b"MJPG", _MJPG_FOURCC, b"00dc"
 
     avih = struct.pack(
         "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, f, 0, 1,
         frame_size, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
-        "<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, f,
+        "<4s4sIHHIIIIIIII4h", b"vids", handler, 0, 0, 0, 0, 1, fps, 0, f,
         frame_size, 0, 0, 0, 0, w, h,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, comp, frame_size, 2835, 2835, 0, 0
     )
 
     def chunk(cid: bytes, body: bytes) -> bytes:
@@ -187,26 +207,27 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
     hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
     hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
-    movi_body = b"movi" + b"".join(chunk(b"00db", rows[i].tobytes()) for i in range(f))
+    movi_body = b"movi" + b"".join(chunk(frame_cid, p) for p in payloads)
     movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
-    """AVI bytes -> ((F, H, W, 3) uint8 RGB frames, fps).  Supports the
-    encoder's subset: one 'vids' stream of uncompressed 24-bit DIB
-    ('00db') frames."""
+    """AVI bytes -> ((F, H, W, 3) uint8 RGB frames, fps).  Supports one
+    'vids' stream of uncompressed 24-bit DIB ('00db') frames or
+    Motion-JPEG ('MJPG' compression, baseline JPEG '00dc' frames)."""
     buf = bytes(payload)
     if len(buf) < 24 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise CodecError("not an AVI payload")
     w = h = None
     fps = 0
+    mjpg = False
     cur_stream = b""  # fccType of the most recent strh (strf follows it)
     frames: list[np.ndarray] = []
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal w, h, fps, cur_stream
+        nonlocal w, h, fps, cur_stream, mjpg
         pos = lo
         while pos + 8 <= hi:
             cid = buf[pos : pos + 4]
@@ -238,7 +259,9 @@ def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
                 _, bw, bh, _, bpp, comp = struct.unpack(
                     "<IiiHHI", buf[body_lo : body_lo + 20]
                 )
-                if bpp != 24 or comp != 0:
+                if comp == _MJPG_FOURCC:
+                    mjpg = True
+                elif bpp != 24 or comp != 0:
                     raise CodecError(
                         f"unsupported AVI video stream (bpp={bpp}, compression={comp})"
                     )
@@ -247,15 +270,20 @@ def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
                 if bw and bh:
                     w, h = int(bw), int(abs(bh))
             elif cid[2:4] in (b"db", b"dc"):
-                if w is None or h is None:
-                    raise CodecError("AVI frame chunk before header")
-                row_bytes = (w * 3 + 3) & ~3
-                if body_hi - body_lo < row_bytes * h:
-                    raise CodecError("truncated AVI frame")
-                rows = np.frombuffer(
-                    buf, dtype=np.uint8, count=row_bytes * h, offset=body_lo
-                ).reshape(h, row_bytes)
-                frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1])
+                if mjpg:
+                    from .jpeg import decode_jpeg
+
+                    frames.append(decode_jpeg(buf[body_lo:body_hi]))
+                else:
+                    if w is None or h is None:
+                        raise CodecError("AVI frame chunk before header")
+                    row_bytes = (w * 3 + 3) & ~3
+                    if body_hi - body_lo < row_bytes * h:
+                        raise CodecError("truncated AVI frame")
+                    rows = np.frombuffer(
+                        buf, dtype=np.uint8, count=row_bytes * h, offset=body_lo
+                    ).reshape(h, row_bytes)
+                    frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1])
             pos += 8 + size + (size & 1)
 
     try:
@@ -264,4 +292,8 @@ def decode_avi(payload: bytes | memoryview) -> tuple[np.ndarray, int]:
         raise CodecError(f"truncated AVI header: {e}") from e
     if not frames:
         raise CodecError("AVI contains no decodable frames")
-    return np.ascontiguousarray(np.stack(frames)), int(fps)
+    try:
+        stacked = np.stack(frames)
+    except ValueError as e:  # MJPEG frames with inconsistent dims
+        raise CodecError(f"inconsistent AVI frame dimensions: {e}") from e
+    return np.ascontiguousarray(stacked), int(fps)

@@ -182,9 +182,10 @@ class MediaResizer:
 class FrameSampler:
     """Actor-pool frame-sampling stage (video): payload -> one row per
     sampled frame (flat_map row expansion, M4 shape).  ``decoder="real"``
-    demuxes uncompressed-DIB AVI and re-encodes each sampled frame as a
-    standalone BMP payload; the fake path treats the payload as
-    ``n_frames`` equal chunks and emits every ``step``-th chunk."""
+    demuxes AVI (uncompressed DIB or Motion-JPEG) and re-encodes each
+    sampled frame as a standalone BMP payload; the fake path treats the
+    payload as ``n_frames`` equal chunks and emits every ``step``-th
+    chunk."""
 
     def __init__(self, n_frames: int = 16, step: int = 4, decoder: str = "fake"):
         self.n_frames, self.step = n_frames, step
@@ -310,11 +311,9 @@ def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -
             else:
                 nf = int(rng.randint(2, 9))
                 w, h = int(rng.randint(4, 17)), int(rng.randint(4, 17))
-                payloads.append(
-                    codecs.encode_avi(
-                        rng.randint(0, 256, (nf, h, w, 3)).astype(np.uint8), fps=10
-                    )
-                )
+                vid = rng.randint(0, 256, (nf, h, w, 3)).astype(np.uint8)
+                codec = "mjpg" if rng.rand() < 0.5 else "dib"  # half Motion-JPEG
+                payloads.append(codecs.encode_avi(vid, fps=10, codec=codec))
     else:
         payloads = [rng.bytes(int(rng.randint(256, 4096))) for _ in range(n)]
     tbl = pa.table(

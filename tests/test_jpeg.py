@@ -167,3 +167,49 @@ class TestJpegInStages:
         assert bytes(memoryview(payload)[:2]) == b"\xff\xd8"  # stayed JPEG
         dec = decode_image(payload)
         assert dec.shape == (6, 8, 3)
+
+
+class TestMotionJpegAvi:
+    def test_mjpeg_avi_roundtrip_and_dib_unchanged(self):
+        """MJPEG AVI (baseline-JPEG frames in 00dc chunks) decodes close
+        to the source; the DIB path stays byte-exact."""
+        from mel_ray.functions.codecs import decode_avi, encode_avi
+
+        yy, xx = np.mgrid[0:24, 0:20]
+        base = np.clip(
+            np.stack([128 + 90 * np.sin(xx / 7), 128 + 70 * np.cos(yy / 9),
+                      128 + 50 * np.sin((xx + yy) / 11)], -1),
+            0, 255,
+        ).astype(np.uint8)
+        frames = np.stack([np.roll(base, 2 * i, axis=1) for i in range(5)])
+        exact, fps = decode_avi(encode_avi(frames, fps=12, codec="dib"))
+        assert (exact == frames).all() and fps == 12
+        got, fps2 = decode_avi(encode_avi(frames, fps=12, codec="mjpg", quality=90))
+        assert got.shape == frames.shape and fps2 == 12
+        mse = np.mean((got.astype(float) - frames.astype(float)) ** 2)
+        assert 10 * np.log10(255.0**2 / mse) > 33.0
+
+    def test_real_frame_sampler_handles_mjpeg(self, ray_session):
+        """The real-decoder frame sampler demuxes a Motion-JPEG payload."""
+        from mel_ray.functions.codecs import decode_bmp, encode_avi
+        from mel_ray.stages.multimodal import FrameSampler
+
+        rng = np.random.default_rng(8)
+        frames = rng.integers(0, 256, (6, 12, 10, 3), dtype=np.uint16).astype(np.uint8)
+        batch = pa.table(
+            {
+                "media_id": pa.array([3], pa.int64()),
+                "kind": pa.array(["video"], pa.string()),
+                "payload": pa.array(
+                    [encode_avi(frames, fps=10, codec="mjpg", quality=90)],
+                    pa.large_binary(),
+                ),
+                "width": pa.array([10], pa.int32()),
+                "height": pa.array([12], pa.int32()),
+                "sample_rate": pa.array([0], pa.int32()),
+            }
+        )
+        out = FrameSampler(n_frames=6, step=2, decoder="real")(batch)
+        assert len(out) == 3  # frames 0, 2, 4
+        img = decode_bmp(out["frame"][0].as_buffer())
+        assert img.shape == (12, 10, 3)
