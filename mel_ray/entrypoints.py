@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
         "token_pack": textops.token_pack,
+        "weighted_sample": relational.weighted_sample,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "blocking_quality": corpusops.blocking_quality,
         "cluster_reps": corpusops.cluster_reps,
@@ -582,6 +583,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '{tok}')) AS n_tokens
             FROM documents
+        """,
+        "weighted_sample": """
+            SELECT o_orderkey, o_totalprice FROM (
+              SELECT o_orderkey, o_totalprice,
+                     round(-ln(md5_number_lower(CAST(o_orderkey AS VARCHAR))
+                               / 18446744073709551616.0)
+                           / o_totalprice, 12) AS r
+              FROM orders)
+            ORDER BY r, o_orderkey LIMIT 50
         """,
         "token_pack": f"""
             SELECT doc_id, n_tokens,

@@ -281,6 +281,46 @@ def anti_join(sf_dir: str):
     )
 
 
+# --- O8: distribution-weighted sampling -------------------------------------
+def weighted_sample(sf_dir: str, k: int = 50):
+    """k orders sampled WITHOUT replacement with probability proportional
+    to ``o_totalprice`` — the reference's distribution-weighted negative
+    sampler (``np.random.choice(p=qids_distribution)``,
+    negative_sampler.py:176-190) made deterministic and distributed.
+
+    Efraimidis-Spirakis priority sampling: rank = -ln(u)/w with a
+    md5-derived uniform u (DuckDB's ``md5_number_lower`` = little-endian
+    of digest bytes 8..16 — mirrored bit-for-bit here), take the k
+    smallest ranks.  Ranks are rounded to 12 decimals with an id
+    tie-break so a <=1-ulp ``ln`` difference between engines cannot
+    flip the boundary.  Scale shape: each batch keeps only its local
+    top-k (combiner), so the final sort sees #blocks x k rows."""
+    import hashlib
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        w = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dig = b"".join(hashlib.md5(str(int(x)).encode()).digest() for x in okey.tolist())
+        lo = np.frombuffer(dig, np.uint8).reshape(-1, 16)[:, 8:].copy().view("<u8")[:, 0]
+        u = lo.astype(np.float64) / 18446744073709551616.0
+        r = np.round(-np.log(u) / w, 12)
+        order = np.lexsort((okey, r))[:k]  # local top-k combiner
+        return pa.table(
+            {
+                "o_orderkey": pa.array(okey[order]),
+                "o_totalprice": pa.array(w[order]),
+                "r": pa.array(r[order]),
+            }
+        )
+
+    out = ds.map_batches(keyed, batch_format="pyarrow").sort(["r", "o_orderkey"]).limit(k)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice"]), batch_format="pyarrow"
+    )
+
+
 def bloom_semi_join(sf_dir: str):
     """Same result as :func:`semi_join`, via the 100-TB join plan: a
     compact broadcast Bloom filter pre-filters the probe side inside

@@ -731,3 +731,18 @@ class TestEventAndSampleOps:
         cum = toks.n_tokens.cumsum() - toks.n_tokens
         assert (got.n_tokens.values == toks.n_tokens.values).all()
         assert (got.batch_id.values == (cum // 1000).values).all()
+
+
+    def test_weighted_sample_deterministic_and_biased(self):
+        """Efraimidis-Spirakis weighted sampling: deterministic across
+        runs and biased toward heavy weights (sampled mean totalprice
+        well above the population mean on this fixture)."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.relational import weighted_sample
+
+        a = weighted_sample(SF, k=20).to_pandas()
+        b = weighted_sample(SF, k=20).to_pandas()
+        assert a.equals(b) and len(a) == 20
+        pop = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"]).to_pandas()
+        assert a.o_totalprice.mean() > 1.2 * pop.o_totalprice.mean()

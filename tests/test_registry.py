@@ -89,6 +89,7 @@ def test_driver_window_holds_oracle_bearing_queries():
         "grouped_stats",        # moments family: grouped_agg/mean_agg in window
         "bloom_semi_join",      # same oracle as semi_join (J4, Bloom plan)
         "token_pack",           # prefix-scan packing; token family in window
+        "weighted_sample",      # sampling family: stratified_sample in window
         "sliding_window_counts",  # window family: windowed_agg in window
         "topk_global",          # same oracle as sort_limit (O3)
         "intersect_distinct",   # set-op family: union_distinct in window
