@@ -858,3 +858,76 @@ def emb_centroids(sf_dir: str):
         return pa.table({"label": t["label"], "dim_i": t["dim_i"], "avg_val": avg})
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def knn_rerank(sf_dir: str, k: int = 10, m: int = 50, num_queries: int = 20):
+    """two-stage retrieve-then-rerank: a cheap inner-product retrieval
+    picks ``m`` candidates per query, an exact-cosine scorer reranks
+    them and keeps the top ``k`` (ties -> lower vec_id at both stages).
+
+    The reference's reranking dataflow recast (keyed gather of candidate
+    payloads behind a retrieval stage, src/reranking/binary/
+    create_dataset.py:86-114): at 100 TB stage 1 is the partitioned ANN
+    family above and stage 2 touches only ``num_queries x m`` rows — the
+    rerank never sees the corpus.  Here stage 1 is the exact IP baseline
+    so the whole cascade stays SQL-checkable (oracle ranks with the same
+    score + vec_id tie-break at both cuts)."""
+    from .stages.blocking import binary_matrix, _binary_rows
+
+    ds = _capped_embeddings(sf_dir, None, with_label=False)
+
+    def raw(t: pa.Table) -> pa.Table:
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": pa.compute.cast(t["vec_id"], pa.int64()),
+                "raw": _binary_rows(np.ascontiguousarray(mat)),
+            }
+        )
+
+    index_refs = (
+        ds.map_batches(raw, batch_format="pyarrow").materialize().to_arrow_refs()
+    )
+    queries = _query_ids(sf_dir, num_queries)
+
+    class Reranker:
+        def __init__(self, refs):
+            tables = [t for t in ray.get(list(refs)) if len(t)]
+            t = pa.concat_tables(tables).combine_chunks()
+            ids = t["vec_id"].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            self.ids = ids[order]
+            self.raw = np.ascontiguousarray(binary_matrix(t["raw"], np.float64)[order])
+            norms = np.maximum(np.linalg.norm(self.raw, axis=1, keepdims=True), 1e-12)
+            self.unit = self.raw / norms
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = t["query_id"].to_numpy()
+            qi = np.searchsorted(self.ids, q)
+            # stage 1: inner-product retrieval, self excluded; stable
+            # argsort over sorted ids => ties break to the lower vec_id
+            ip = self.raw[qi] @ self.raw.T
+            ip[np.arange(len(qi)), qi] = -np.inf
+            mm = min(m, max(self.raw.shape[0] - 1, 0))
+            cand = np.argsort(-ip, axis=1, kind="stable")[:, :mm]
+            # stage 2: exact cosine over the m survivors only; ties ->
+            # lower vec_id (lexsort per query row — m is tiny)
+            cos = np.einsum("qd,qmd->qm", self.unit[qi], self.unit[cand])
+            kk = min(k, mm)
+            front = np.stack(
+                [np.lexsort((self.ids[cand[r]], -cos[r]))[:kk] for r in range(len(qi))]
+            ) if len(qi) else np.empty((0, kk), dtype=np.int64)
+            nbr = np.take_along_axis(cand, front, axis=1)
+            sim = np.take_along_axis(cos, front, axis=1)
+            return pa.table(
+                {
+                    "query_id": pa.array(np.repeat(self.ids[qi], kk).astype(np.int64)),
+                    "neighbor_id": pa.array(self.ids[nbr.ravel()].astype(np.int64)),
+                    "cos_sim": pa.array(round_half_away(sim.ravel(), 4)),
+                }
+            )
+
+    return queries.map_batches(
+        Reranker, fn_constructor_args=(index_refs,), batch_format="pyarrow",
+        concurrency=2, num_cpus=0.5,
+    )

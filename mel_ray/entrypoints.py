@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_capped": lambda sf: annops.knn_ivf(sf, max_per_label=20),
         "knn_quantized": annops.knn_quantized,
         "knn_ivf_quantized": annops.knn_ivf_quantized,
+        "knn_rerank": annops.knn_rerank,
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "sliding_window_counts": streamops.sliding_window_counts,
         "topk_global": relational.topk_global,
@@ -731,6 +732,27 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY rnk ASC) AS unique_rank
               FROM ranked WHERE lrnk = 1)
             WHERE unique_rank <= 3
+        """,
+        "knn_rerank": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       ORDER BY vec_id LIMIT 20),
+            cand AS (
+              SELECT query_id, neighbor_id, embedding FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       e.embedding,
+                       row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_inner_product(q.embedding, e.embedding) DESC,
+                                   e.vec_id ASC) AS rn
+                FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id)
+              WHERE rn <= 50),
+            rer AS (
+              SELECT c.query_id, c.neighbor_id,
+                     list_cosine_similarity(q.embedding, c.embedding) AS s
+              FROM cand c JOIN q ON q.vec_id = c.query_id)
+            SELECT query_id, neighbor_id, round(s, 4) AS cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY s DESC, neighbor_id ASC) AS rn
+              FROM rer) WHERE rn <= 10
         """,
         "emb_near_dupes": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

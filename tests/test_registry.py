@@ -98,4 +98,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "doc_quality",          # doc_quality_filter/_pct_filter in window
         "doc_bpe_token_count",  # doc_token_count in window (M6/M7)
         "doc_md5_fingerprint",  # sha fingerprints verified via dedup ops
+        "knn_rerank",           # knn family in window (knn_bruteforce/capped)
     }
