@@ -265,3 +265,69 @@ def fs_weights(sf_dir: str):
             }
         )
     return pd.DataFrame(rows)
+
+
+def corpus_boilerplate_lines(sf_dir: str, min_files: int = 3):
+    """corpus-wide duplicated-line detection: lines appearing in >=
+    ``min_files`` distinct files, with total occurrence counts — the
+    boilerplate/license-header signal an LLM code-data pipeline strips
+    before training (StarCoder-style line-level dedup; D6 recast at
+    line granularity).
+
+    Scale shape: the per-batch partial dedupes (line, file) INSIDE the
+    batch with a vectorized Arrow group_by, so the shuffle carries one
+    row per distinct line per batch — never the exploded line stream.
+    Each file is one row (never split across batches), so summing
+    per-batch distinct-file partials is the exact global
+    count(DISTINCT fid)."""
+    from ray.data.aggregate import Sum
+
+    ds = I.read_corpus(_corpus_files(sf_dir), columns=["content"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["content"], "\n")
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        parents = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        pairs = pa.table(
+            {
+                "line": flat.filter(keep),
+                "fid": pa.array(parents[keep_np]),
+            }
+        )
+        per = pairs.group_by(["line", "fid"]).aggregate([([], "count_all")])
+        agg = (
+            pa.table({"line": per["line"], "occ": per["count_all"]})
+            .group_by("line")
+            .aggregate([("occ", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "line": agg["line"],
+                "occ": pc.cast(agg["occ_sum"], pa.int64()),
+                "nf": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line")
+        .aggregate(
+            Sum("occ", alias_name="n_occurrences"),
+            Sum("nf", alias_name="n_files"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "line": t["line"],
+                "n_occurrences": pc.cast(t["n_occurrences"], pa.int64()),
+                "n_files": pc.cast(t["n_files"], pa.int64()),
+            }
+        )
+        return t.filter(pc.greater_equal(t["n_files"], min_files))
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "token_pack": textops.token_pack,
         "weighted_sample": relational.weighted_sample,
+        "corpus_boilerplate_lines": corpusops.corpus_boilerplate_lines,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
         "blocking_quality": corpusops.blocking_quality,
         "cluster_reps": corpusops.cluster_reps,
@@ -778,6 +779,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(r.new_repo, f.repo) AS repo, count(*) AS n_files
             FROM {files} f LEFT JOIN {renames} r ON f.repo = r.old_repo
             GROUP BY 1
+        """,
+        "corpus_boilerplate_lines": f"""
+            WITH l AS (SELECT repo || '/' || path || '@' || "commit" AS fid,
+                              unnest(string_split(content, chr(10))) AS line
+                       FROM {files})
+            SELECT line, count(*) AS n_occurrences,
+                   count(DISTINCT fid) AS n_files
+            FROM l WHERE line <> ''
+            GROUP BY 1 HAVING count(DISTINCT fid) >= 3
         """,
         "linkage_exact_pairs": _exact_link_sql(files, clusters=False),
         "linkage_exact_clusters": _exact_link_sql(files, clusters=True),

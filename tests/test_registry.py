@@ -99,4 +99,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "doc_bpe_token_count",  # doc_token_count in window (M6/M7)
         "doc_md5_fingerprint",  # sha fingerprints verified via dedup ops
         "knn_rerank",           # knn family in window (knn_bruteforce/capped)
+        "corpus_boilerplate_lines",  # line-dedup family: corpus_dup_groups in window
     }
