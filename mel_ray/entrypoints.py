@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
         "token_pack": textops.token_pack,
+        "doc_dup_ngram_fraction": textops.doc_dup_ngram_fraction,
         "weighted_sample": relational.weighted_sample,
         "corpus_boilerplate_lines": corpusops.corpus_boilerplate_lines,
         "linkage_scored_pairs": corpusops.linkage_scored_pairs,
@@ -627,6 +628,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_lang_id": _lang_id_sql(),
+        "doc_dup_ngram_fraction": f"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(text, '{tok}') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(ws[i:i+4], ' ')
+                                 for i in range(1, len(ws) - 3)]) AS gram
+                  FROM w),
+            d AS (SELECT doc_id, count(*) AS n_grams,
+                         round(1.0 - count(DISTINCT gram) * 1.0 / count(*), 6)
+                           AS dup_frac
+                  FROM g GROUP BY 1)
+            SELECT w.doc_id, coalesce(d.n_grams, 0) AS n_grams,
+                   coalesce(d.dup_frac, 0.0) AS dup_frac
+            FROM w LEFT JOIN d USING (doc_id)
+        """,
         "doc_heavy_hitter_words": f"""
             WITH words AS (
               SELECT unnest(regexp_extract_all(text, '{tok}')) AS word

@@ -919,3 +919,69 @@ def doc_quality_pct_filter(sf_dir: str, pct: float = 0.2):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def doc_dup_ngram_fraction(sf_dir: str, n: int = 5):
+    """Gopher-style within-document repetition signal: per doc the
+    fraction of word ``n``-gram occurrences that repeat an n-gram seen
+    earlier in the SAME document (``1 - distinct/total``; 0.0 when the
+    doc has fewer than ``n`` words), plus the n-gram count.
+
+    Fully per-doc and shuffle-free: one ``map_batches`` pass.  Exact
+    distinctness without materializing gram strings — words are
+    batch-locally dictionary-encoded and grams compared as int tuples
+    via one lexsort + run detection over the whole batch (the
+    ``_emit_pairs_for_bucket`` idiom).  Tokenization shares ``TOKEN_RE``
+    with every other text op."""
+    from .util import round_half_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                t["text"], pattern=r"[^A-Za-z0-9]+", replacement=" "
+            ),
+            pattern=" ",
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        valid = pc.and_(pc.is_valid(flat), pc.greater(pc.utf8_length(flat), 0))
+        keep = valid.to_numpy(zero_copy_only=False)
+        words = flat.filter(valid)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        codes = words.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        codes = codes.astype(np.int64, copy=False)
+        docs = doc_idx[keep]  # non-decreasing: flatten order groups by row
+
+        n_rows = len(t)
+        total = np.zeros(n_rows, dtype=np.int64)
+        distinct = np.zeros(n_rows, dtype=np.int64)
+        if len(codes) >= n:
+            grams = np.lib.stride_tricks.sliding_window_view(codes, n)
+            starts = docs[: len(codes) - n + 1] == docs[n - 1 :]
+            grams = grams[starts]
+            gdoc = docs[: len(codes) - n + 1][starts]
+            total = np.bincount(gdoc, minlength=n_rows)
+            if len(grams):
+                order = np.lexsort(tuple(grams[:, j] for j in range(n - 1, -1, -1)) + (gdoc,))
+                gs, ds_ = grams[order], gdoc[order]
+                new = np.ones(len(gs), dtype=bool)
+                new[1:] = (ds_[1:] != ds_[:-1]) | np.any(gs[1:] != gs[:-1], axis=1)
+                distinct = np.bincount(ds_[new], minlength=n_rows)
+        frac = np.zeros(n_rows, dtype=np.float64)
+        nz = total > 0
+        frac[nz] = 1.0 - distinct[nz] / total[nz]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(total.astype(np.int64)),
+                "dup_frac": pa.array(round_half_away(frac, 6)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

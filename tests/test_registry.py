@@ -100,4 +100,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "doc_md5_fingerprint",  # sha fingerprints verified via dedup ops
         "knn_rerank",           # knn family in window (knn_bruteforce/capped)
         "corpus_boilerplate_lines",  # line-dedup family: corpus_dup_groups in window
+        "doc_dup_ngram_fraction",  # quality family: doc_quality_filter in window
     }
