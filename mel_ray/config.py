@@ -45,6 +45,12 @@ class ScoringConfig:
     # CPU-only so the default is 0.0 = no change, but the actor-pool stage
     # is configuration-complete for a GPU-backed scorer/embedder swap).
     num_gpus: float = 0.0
+    # Path to a model checkpoint written by state/model_ckpt.py
+    # (save_model_checkpoint).  When set, scorer actors load their
+    # score-combination weights from it once per actor in __init__
+    # (S11/T2: the torch.save state_dict load recast); None = built-in
+    # defaults, bit-identical to the unparameterized formula.
+    model_checkpoint: str | None = None
     # Feature tables at or below this many rows are BROADCAST into the
     # pair-scoring stage (ray.put once, searchsorted lookup per batch —
     # zero shuffle; the Spark autoBroadcastJoinThreshold idea).  Above

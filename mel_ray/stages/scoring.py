@@ -37,6 +37,19 @@ from ..functions.strsim import jaro_winkler, levenshtein_ratio
 JOIN_AGG_ARGS = {"num_cpus": 0.25}
 
 
+def combine_scores(w, est_j, cos, path_jw, repo_jw) -> np.ndarray:
+    """Weighted score combination with checkpointable weights (S11).
+    ``float(w[i])`` turns each float64 weight back into a Python float,
+    so the default weights reproduce the original literal-constant
+    expression bit-exactly."""
+    return (
+        float(w[0]) * est_j
+        + float(w[1]) * np.maximum(cos, 0)
+        + float(w[2]) * path_jw
+        + float(w[3]) * repo_jw
+    ).astype(np.float32)
+
+
 def _gpu_args(scoring: ScoringConfig) -> dict:
     """map_batches kwargs for a GPU-backed scorer pool; empty at
     num_gpus=0 so the CPU-only plan is byte-identical to before."""
@@ -120,8 +133,11 @@ class PairScorer:
     ``__call__`` — ``map_batches(PairScorer, concurrency=N)``)."""
 
     def __init__(self, scoring: ScoringConfig, blocking: BlockingConfig):
+        from ..state.model_ckpt import scorer_weights
+
         self.cfg = scoring
         self.num_hashes = blocking.num_hashes
+        self.w = scorer_weights(scoring)  # model state, loaded once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .blocking import binary_matrix
@@ -135,9 +151,7 @@ class PairScorer:
             self._col(batch, "path_a"), self._col(batch, "path_b"), max_len=64
         )
         repo_jw = jaro_winkler(self._col(batch, "repo_a"), self._col(batch, "repo_b"))
-        score = (
-            0.6 * est_j + 0.3 * np.maximum(cos, 0) + 0.05 * path_jw + 0.05 * repo_jw
-        ).astype(np.float32)
+        score = combine_scores(self.w, est_j, cos, path_jw, repo_jw)
         accepted = (est_j >= self.cfg.jaccard_accept) & (cos >= self.cfg.cosine_accept)
         return pa.table(
             {
@@ -231,8 +245,11 @@ class BroadcastPairScorer:
     def __init__(self, ref, scoring: ScoringConfig):
         import ray as _ray
 
+        from ..state.model_ckpt import scorer_weights
+
         self.ids, self.sig, self.emb, self.repo, self.path = _ray.get(ref)
         self.cfg = scoring
+        self.w = scorer_weights(scoring)  # model state, loaded once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.minhash import estimate_jaccard
@@ -253,9 +270,7 @@ class BroadcastPairScorer:
         path_jw = jaro_winkler(path_a, path_b)
         path_lev = levenshtein_ratio(path_a, path_b, max_len=64)
         repo_jw = jaro_winkler(repo_a, repo_b)
-        score = (
-            0.6 * est_j + 0.3 * np.maximum(cos, 0) + 0.05 * path_jw + 0.05 * repo_jw
-        ).astype(np.float32)
+        score = combine_scores(self.w, est_j, cos, path_jw, repo_jw)
         accepted = (est_j >= self.cfg.jaccard_accept) & (cos >= self.cfg.cosine_accept)
         return pa.table(
             {
