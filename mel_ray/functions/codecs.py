@@ -72,7 +72,8 @@ def decode_bmp(payload: bytes | memoryview) -> np.ndarray:
 
 def decode_image(payload: bytes | memoryview) -> np.ndarray:
     """Image bytes -> (H, W, 3) uint8 RGB, dispatched on magic bytes:
-    ``BM`` -> BMP, ``FF D8`` -> baseline JPEG (functions/jpeg.py)."""
+    ``BM`` -> BMP, ``FF D8`` -> baseline JPEG (functions/jpeg.py),
+    ``89 50`` -> PNG (functions/png.py)."""
     head = bytes(memoryview(payload)[:2])
     if head == b"BM":
         return decode_bmp(payload)
@@ -80,16 +81,25 @@ def decode_image(payload: bytes | memoryview) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise CodecError("unrecognized image format (expected BMP or JPEG)")
+    if head == b"\x89P":
+        from .png import decode_png_rgb
+
+        return decode_png_rgb(payload)
+    raise CodecError("unrecognized image format (expected BMP, JPEG or PNG)")
 
 
 def encode_image_like(img: np.ndarray, like: bytes | memoryview) -> bytes:
     """Encode ``img`` in the same container format as ``like``'s payload
     (keeps a resize stage format-preserving)."""
-    if bytes(memoryview(like)[:2]) == b"\xff\xd8":
+    head = bytes(memoryview(like)[:2])
+    if head == b"\xff\xd8":
         from .jpeg import encode_jpeg
 
         return encode_jpeg(img)
+    if head == b"\x89P":
+        from .png import encode_png
+
+        return encode_png(img)
     return encode_bmp(img)
 
 

@@ -284,10 +284,10 @@ def extract_media_features(
 def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -> "ray.data.Dataset":
     """Deterministic synthetic media table in MEDIA_SCHEMA (for tests and
     the ``media_features`` query; no external data).  With
-    ``real_codecs=True``, image rows carry valid BMP payloads, audio
-    rows valid WAV payloads, and video rows valid uncompressed-DIB AVI
-    payloads, so ``decoder="real"`` stages run end-to-end for all three
-    kinds."""
+    ``real_codecs=True``, image rows carry valid BMP / baseline-JPEG /
+    PNG payloads, audio rows valid WAV payloads, and video rows valid
+    AVI payloads (uncompressed DIB or Motion-JPEG), so ``decoder="real"``
+    stages run end-to-end for all three kinds."""
     rng = np.random.RandomState(seed)
     kinds = np.array(["image", "audio", "video"])[rng.randint(0, 3, n)]
     if real_codecs:
@@ -298,13 +298,18 @@ def synth_media_dataset(n: int = 64, seed: int = 7, real_codecs: bool = False) -
             if kind == "image":
                 w, h = int(rng.randint(4, 48)), int(rng.randint(4, 48))
                 img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-                if rng.rand() < 0.5:  # half BMP, half baseline JPEG
+                pick = rng.rand()
+                if pick < 1 / 3:  # a third each: BMP / baseline JPEG / PNG
                     payloads.append(codecs.encode_bmp(img))
-                else:
+                elif pick < 2 / 3:
                     from ..functions.jpeg import encode_jpeg
 
                     sub = "420" if rng.rand() < 0.5 else "444"
                     payloads.append(encode_jpeg(img, quality=90, subsample=sub))
+                else:
+                    from ..functions.png import encode_png
+
+                    payloads.append(encode_png(img, filter_type=int(rng.randint(0, 5))))
             elif kind == "audio":
                 samples = (rng.randn(int(rng.randint(64, 2048))) * 8192).astype(np.int16)
                 payloads.append(codecs.encode_wav(samples, 16000))
