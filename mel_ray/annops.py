@@ -931,3 +931,119 @@ def knn_rerank(sf_dir: str, k: int = 10, m: int = 50, num_queries: int = 20):
         Reranker, fn_constructor_args=(index_refs,), batch_format="pyarrow",
         concurrency=2, num_cpus=0.5,
     )
+
+
+def semantic_dedup(
+    sf_dir: str,
+    num_clusters: int = 32,
+    threshold: float = 0.60,
+    iters: int = 3,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means over
+    L2-normalized embeddings, then an exact cosine sweep INSIDE each
+    cluster — a row is dropped iff some lower-vec_id row in the same
+    cluster has cosine >= ``threshold``.  Returns every row as
+    (vec_id, cluster, kept).
+
+    Ray-Data shape: each k-means iteration is one ``map_batches`` pass
+    emitting per-cluster partial sums (k x d floats per batch — tiny),
+    reduced on the driver like the other bounded-domain aggregates;
+    centroids are ROUNDED to 6 dp each round so the result is
+    independent of partial-sum order.  The final sweep is a
+    ``groupby(cluster).map_groups`` — no worker ever holds more than its
+    cluster, and at 100 TB ``num_clusters`` scales with the corpus so a
+    cluster stays worker-sized (the paper's setting; a skewed mega-
+    cluster would be salted + pair-swept exactly like the LSH bands).
+    Deterministic: centroids init from the ``num_clusters`` lowest
+    vec_ids, assignment ties -> lowest cluster index."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def to_unit(t: pa.Table) -> pa.Table:
+        from .stages.blocking import _binary_rows
+
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table(
+            {
+                "vec_id": pa.compute.cast(t["vec_id"], pa.int64()),
+                "unit": _binary_rows(np.ascontiguousarray(unit)),
+            }
+        )
+
+    unit_ds = ds.map_batches(to_unit, batch_format="pyarrow").materialize()
+
+    from .stages.blocking import binary_matrix, _binary_rows
+
+    # deterministic init: unit vectors of the k lowest vec_ids
+    k = num_clusters
+    init_tbl = pa.concat_tables(
+        [t for t in ray.get(unit_ds.sort("vec_id").limit(k).to_arrow_refs()) if len(t)]
+    ).combine_chunks()
+    centroids = binary_matrix(init_tbl["unit"], np.float64)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            u = binary_matrix(t["unit"], np.float64)
+            assign = np.argmax(u @ c.T, axis=1)
+            sums = np.zeros((len(c), u.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, u)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "s": _binary_rows(sums),
+                    "n": pa.array(counts),
+                }
+            )
+
+        parts = unit_ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts:
+            sums[row["cluster"]] += np.frombuffer(row["s"], dtype=np.float64)
+            counts[row["cluster"]] += row["n"]
+        nz = counts > 0
+        centroids = centroids.copy()
+        centroids[nz] = sums[nz] / counts[nz, None]
+        norms = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        centroids = np.round(centroids / norms, 6)  # order-independence
+
+    cref = ray.put(centroids)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        u = binary_matrix(t["unit"], np.float64)
+        assign = np.argmax(u @ c.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(assign.astype(np.int64)),
+                "unit": t["unit"],
+            }
+        )
+
+    assigned = unit_ds.map_batches(assign_final, batch_format="pyarrow")
+
+    def sweep(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        u = binary_matrix(g["unit"], np.float64)[order]
+        sim = u @ u.T
+        dup = np.triu(sim >= threshold, k=1).any(axis=0)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "cluster": pa.array(
+                    np.full(len(ids), g["cluster"][0].as_py(), dtype=np.int64)
+                ),
+                "kept": pa.array(~dup),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(sweep, batch_format="pyarrow")

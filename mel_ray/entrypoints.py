@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_quantized": annops.knn_ivf_quantized,
         "knn_rerank": annops.knn_rerank,
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
+        "semantic_dedup": annops.semantic_dedup,
         "sliding_window_counts": streamops.sliding_window_counts,
         "topk_global": relational.topk_global,
         "intersect_distinct": relational.intersect_distinct,
@@ -138,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_features": _media_real_features,
         "media_resize": _media_resize,
         "media_frame_sample": _media_frame_sample,
+        "media_spectrogram": _media_spectrogram,
+        "media_shot_detect": _media_shot_detect,
     }
     return q
 
@@ -816,3 +819,39 @@ def oracle_sql() -> dict[str, str]:
         # retrieval loops); the driver records rows-only checks and tests/
         # carries naive-Python oracles for each.
     }
+
+
+def _media_spectrogram(sf_dir: str):
+    """REAL audio analysis end to end: WAV decode + Hann-windowed rfft
+    -> banded log power summary per clip (stages/multimodal.py
+    AudioSpectrogram; no fake decode anywhere in this query)."""
+    from .stages.multimodal import audio_spectrogram, synth_media_dataset
+
+    out = audio_spectrogram(synth_media_dataset(64, real_codecs=True))
+
+    def scalarize(t):
+        # driver results must be sortable: summarize the band vector
+        import numpy as np
+        import pyarrow as pa
+
+        bands = np.stack(t["band_energy"].to_pandas().to_numpy())
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "n_frames": t["n_frames"],
+                "duration_sec": t["duration_sec"],
+                "peak_band": pa.array(np.argmax(bands, axis=1).astype(np.int64)),
+                "total_energy": pa.array(np.round(bands.sum(axis=1), 6)),
+            }
+        )
+
+    return out.map_batches(scalarize, batch_format="pyarrow")
+
+
+def _media_shot_detect(sf_dir: str):
+    """REAL video analysis end to end: AVI demux + frame decode ->
+    mean-luma-difference shot boundaries per clip (stages/multimodal.py
+    ShotDetector)."""
+    from .stages.multimodal import detect_shots, synth_media_dataset
+
+    return detect_shots(synth_media_dataset(64, real_codecs=True))

@@ -261,6 +261,121 @@ def sample_frames(media: "ray.data.Dataset", n_frames: int = 16, step: int = 4,
     )
 
 
+class AudioSpectrogram:
+    """Actor-pool stage: WAV payload -> banded log-mel-style spectrogram
+    summary (REAL decode + REAL FFT, no stub).  Per actor: the Hann
+    window and band-edge tables are built once in ``__init__`` (T2);
+    per batch: each audio row is framed (``win``/``hop``), windowed,
+    rfft'd, and the power spectrum pooled into ``n_bands`` log-spaced
+    bands.  Emits per-media (n_frames, duration_sec, band_energy[list])
+    with the time axis mean-pooled — the fixed-size descriptor a
+    downstream audio-dedup or quality gate would consume."""
+
+    def __init__(self, n_bands: int = 16, win: int = 256, hop: int = 128):
+        self.n_bands, self.win, self.hop = n_bands, win, hop
+        self.window = np.hanning(win).astype(np.float64)
+        # log-spaced band START bins (built once per actor): nondecreasing,
+        # all < nbins — reduceat tolerates repeated starts (empty band ->
+        # the single bin at that start), so tiny windows stay valid
+        nbins = win // 2 + 1
+        starts = np.round(np.geomspace(1, nbins - 1, n_bands)).astype(np.int64)
+        self.starts = np.maximum.accumulate(np.clip(starts, 1, nbins - 1))
+
+    def _spectrogram(self, samples: np.ndarray) -> tuple[int, np.ndarray]:
+        sig = samples.astype(np.float64).mean(axis=1) / 32768.0
+        if len(sig) < self.win:
+            sig = np.pad(sig, (0, self.win - len(sig)))
+        n_frames = 1 + (len(sig) - self.win) // self.hop
+        idx = np.arange(self.win)[None, :] + self.hop * np.arange(n_frames)[:, None]
+        frames = sig[idx] * self.window
+        power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+        bands = np.add.reduceat(power, self.starts, axis=1)
+        return n_frames, np.log1p(bands.mean(axis=0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        n = len(batch)
+        out_frames = np.zeros(n, dtype=np.int64)
+        out_dur = np.zeros(n, dtype=np.float64)
+        out_bands = np.zeros((n, self.n_bands), dtype=np.float64)
+        for i in range(n):  # per-media decode is inherently per-row
+            samples, rate = codecs.decode_wav(
+                memoryview(payloads[i].as_buffer())
+            )
+            out_frames[i], out_bands[i] = self._spectrogram(samples)
+            out_dur[i] = len(samples) / max(rate, 1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_frames": pa.array(out_frames),
+                "duration_sec": pa.array(np.round(out_dur, 6)),
+                "band_energy": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.round(out_bands, 6).reshape(-1)), self.n_bands
+                ),
+            }
+        )
+
+
+class ShotDetector:
+    """Actor-pool stage: AVI payload -> shot-boundary count via mean
+    absolute luma difference between consecutive REAL-decoded frames
+    (threshold on the 0-255 luma scale).  The frame-difference detector
+    every video-dedup/sampling pipeline starts from."""
+
+    def __init__(self, threshold: float = 24.0):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import codecs
+
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        n = len(batch)
+        nf = np.zeros(n, dtype=np.int64)
+        shots = np.zeros(n, dtype=np.int64)
+        fps_out = np.zeros(n, dtype=np.int64)
+        for i in range(n):  # per-media demux is inherently per-row
+            frames, fps = codecs.decode_avi(memoryview(payloads[i].as_buffer()))
+            luma = frames.astype(np.float64).mean(axis=3)
+            diffs = np.abs(np.diff(luma, axis=0)).mean(axis=(1, 2))
+            nf[i] = len(frames)
+            shots[i] = 1 + int((diffs >= self.threshold).sum()) if len(frames) else 0
+            fps_out[i] = fps
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_frames": pa.array(nf),
+                "n_shots": pa.array(shots),
+                "fps": pa.array(fps_out),
+            }
+        )
+
+
+def audio_spectrogram(media: "ray.data.Dataset", n_bands: int = 16,
+                      batch_size: int = 64, concurrency: int = 2) -> "ray.data.Dataset":
+    """audio rows only -> banded spectrogram summaries (real decode)."""
+    audio = media.filter(expr="kind == 'audio'")
+    return audio.map_batches(
+        AudioSpectrogram, fn_constructor_args=(n_bands,),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency, num_cpus=0.5,
+    )
+
+
+def detect_shots(media: "ray.data.Dataset", threshold: float = 24.0,
+                 batch_size: int = 64, concurrency: int = 2) -> "ray.data.Dataset":
+    """video rows only -> shot-boundary counts (real decode)."""
+    video = media.filter(expr="kind == 'video'")
+    return video.map_batches(
+        ShotDetector, fn_constructor_args=(threshold,),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency, num_cpus=0.5,
+    )
+
+
 def extract_media_features(
     media: "ray.data.Dataset",
     feature_dim: int = 64,
