@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mask_stopwords": textops.doc_mask_stopwords,
         # --- similarity search over embeddings (exact members) ---
         "knn_bruteforce": annops.knn_bruteforce,
-        "knn_capped": lambda sf: annops.knn_bruteforce(sf, max_per_label=20),
+        "knn_rerank": annops.knn_rerank,
         "knn_k_unique": annops.knn_k_unique,
         "emb_near_dupes": annops.emb_near_dupes,
         "emb_centroids": annops.emb_centroids,
@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_capped": lambda sf: annops.knn_ivf(sf, max_per_label=20),
         "knn_quantized": annops.knn_quantized,
         "knn_ivf_quantized": annops.knn_ivf_quantized,
-        "knn_rerank": annops.knn_rerank,
+        "knn_capped": lambda sf: annops.knn_bruteforce(sf, max_per_label=20),
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "semantic_dedup": annops.semantic_dedup,
         "sliding_window_counts": streamops.sliding_window_counts,

@@ -98,7 +98,7 @@ def test_driver_window_holds_oracle_bearing_queries():
         "doc_quality",          # doc_quality_filter/_pct_filter in window
         "doc_bpe_token_count",  # doc_token_count in window (M6/M7)
         "doc_md5_fingerprint",  # sha fingerprints verified via dedup ops
-        "knn_rerank",           # knn family in window (knn_bruteforce/capped)
+        "knn_capped",           # per-label-cap variant of in-window knn_bruteforce
         "corpus_boilerplate_lines",  # line-dedup family: corpus_dup_groups in window
         "doc_dup_ngram_fraction",  # quality family: doc_quality_filter in window
     }
