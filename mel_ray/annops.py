@@ -1047,3 +1047,86 @@ def semantic_dedup(
         )
 
     return assigned.groupby("cluster").map_groups(sweep, batch_format="pyarrow")
+
+
+def knn_ivf_pq(
+    sf_dir: str,
+    k: int = 5,
+    num_queries: int = 20,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 256,
+    train_rows: int = 1024,
+    train_iters: int = 4,
+):
+    """IVF x PRODUCT quantization (Jegou et al. 2011: PQ codes +
+    asymmetric-distance search) — the third compression point in the
+    searcher family after flat int8 (:func:`knn_quantized`) and IVF x
+    int8 (:func:`knn_ivf_quantized`): each vector is ``m_sub`` uint8
+    codebook indices (64-d float32 -> 8 bytes, 32x smaller at rest).
+
+    Codebooks are trained ONCE on a bounded deterministic sample (the
+    first ``train_rows`` unit vectors by vec_id — driver-sized by
+    construction, the classic train-on-sample PQ recipe), per-subspace
+    k-means seeded from the first ``n_codes`` sample rows with centroids
+    rounded to 6 dp per round (order-independence, as in
+    :func:`semantic_dedup`).  Cell assignment uses the full-precision
+    vector BEFORE coding; queries stay full precision and each probed
+    cell reconstructs only its own members through the shared search
+    core's decode hook (ADC: full-precision query x reconstructed db)."""
+    from .stages.blocking import _binary_rows, binary_matrix
+
+    c_ids, centroids = _query_vectors(sf_dir, num_cells)
+    s_ids, sample = _query_vectors(sf_dir, train_rows)
+    d = sample.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    sub_d = d // m_sub
+    books = np.zeros((m_sub, n_codes, sub_d), dtype=np.float64)
+    for j in range(m_sub):
+        x = sample[:, j * sub_d : (j + 1) * sub_d]
+        cb = x[:n_codes].copy()
+        for _ in range(train_iters):
+            dist = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(dist, axis=1)
+            for ci in range(n_codes):
+                members = x[assign == ci]
+                if len(members):
+                    cb[ci] = members.mean(axis=0)
+            cb = np.round(cb, 6)
+        books[j] = cb
+    model_ref = ray.put((centroids, books))
+
+    def assign_encode(t: pa.Table) -> pa.Table:
+        cents, bks = ray.get(model_ref)
+        unit_t = _unit_features_batch(t)
+        unit = unit_t["unit_mat"]
+        cell = np.argmax(unit @ cents.T, axis=1).astype(np.int32)
+        codes = np.empty((len(unit), m_sub), dtype=np.uint8)
+        for j in range(m_sub):
+            x = unit[:, j * sub_d : (j + 1) * sub_d]
+            dist = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": unit_t["vec_id"],
+                "cell": pa.array(cell),
+                "unit": _binary_rows(np.ascontiguousarray(codes)),
+            }
+        )
+
+    index = _capped_embeddings(sf_dir, None, False).map_batches(
+        assign_encode, batch_format="pyarrow"
+    )
+    q_ids, q_unit = _query_vectors(sf_dir, num_queries)
+    q_ref = _probe_ref(q_ids, q_unit, centroids, nprobe)
+
+    def decode(group: pa.Table) -> np.ndarray:
+        _, bks = ray.get(model_ref)
+        codes = binary_matrix(group["unit"], np.uint8)
+        return np.concatenate(
+            [bks[j][codes[:, j]] for j in range(m_sub)], axis=1
+        )
+
+    return _partitioned_search(index, q_ref, k, decode=decode)

@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_capped": lambda sf: annops.knn_ivf(sf, max_per_label=20),
         "knn_quantized": annops.knn_quantized,
         "knn_ivf_quantized": annops.knn_ivf_quantized,
+        "knn_ivf_pq": annops.knn_ivf_pq,
         "knn_capped": lambda sf: annops.knn_bruteforce(sf, max_per_label=20),
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "semantic_dedup": annops.semantic_dedup,

@@ -67,6 +67,25 @@ class TestAnnOps:
         merged = ivf.merge(ivfq, on=["query_id", "neighbor_id"], suffixes=("_f", "_q"))
         assert (abs(merged.cos_sim_f - merged.cos_sim_q) < 0.05).all()
 
+    def test_knn_ivf_pq_recall_vs_ivf(self):
+        """IVF x PQ probes the same cells as plain IVF, so the recall
+        gap is pure product-quantization reconstruction error; PQ sims
+        are looser than int8's (8 bytes/vector), hence the wider score
+        tolerance and lower recall floor."""
+        from mel_ray.annops import knn_ivf, knn_ivf_pq
+
+        ivf = knn_ivf(SF).to_pandas()
+        pq = knn_ivf_pq(SF).to_pandas()
+        ivf_sets = ivf.groupby("query_id").neighbor_id.apply(set)
+        pq_sets = pq.groupby("query_id").neighbor_id.apply(set)
+        recalls = [
+            len(pq_sets.get(q, set()) & want) / len(want)
+            for q, want in ivf_sets.items()
+        ]
+        assert np.mean(recalls) >= 0.5, np.mean(recalls)
+        merged = ivf.merge(pq, on=["query_id", "neighbor_id"], suffixes=("_f", "_q"))
+        assert (abs(merged.cos_sim_f - merged.cos_sim_q) < 0.25).all()
+
     def test_emb_near_dupes_lsh_sound_and_recalls(self):
         """The banded scale path: every emitted pair is exactly verified
         (soundness = exact), and 8 bands x 3 sign-planes recall most of
