@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": corpusops.linkage_clusters,
         "linkage_f1_metrics": corpusops.linkage_f1_metrics,
         # ================= position > 50: outside the driver window ====
+        "pivot_wide": relational.pivot_wide,
+        "rollup_agg": relational.rollup_agg,
+        "skew_join": relational.skew_join,
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -358,6 +361,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "skew_join": """
+            SELECT s_nationkey, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1
+        """,
+        "pivot_wide": """
+            SELECT user_id,
+              round(sum(CASE WHEN event_type='click' THEN value ELSE 0 END),2) AS click_sum,
+              round(sum(CASE WHEN event_type='error' THEN value ELSE 0 END),2) AS error_sum,
+              round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END),2) AS purchase_sum,
+              round(sum(CASE WHEN event_type='signup' THEN value ELSE 0 END),2) AS signup_sum,
+              round(sum(CASE WHEN event_type='view' THEN value ELSE 0 END),2) AS view_sum
+            FROM events GROUP BY user_id
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "semi_join": """
             SELECT c_custkey, c_name FROM customer

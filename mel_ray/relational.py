@@ -1251,3 +1251,163 @@ def except_distinct(sf_dir: str, price: float = 1500.0):
         ).select(["partkey"]),
         batch_format="pyarrow",
     )
+
+
+# --- pivot (wide conditional aggregation over a bounded column domain) -----
+def pivot_wide(sf_dir: str, types=("click", "error", "purchase", "signup", "view")):
+    """events pivoted wide: one ``<type>_sum`` column per event_type,
+    summing ``value`` per user (the classic long→wide pivot).
+
+    The pivot column set is BOUNDED AND KNOWN UP FRONT — the only shape
+    that exists at 100 TB (an unbounded pivot is a schema explosion; a
+    discovery pre-pass would be :func:`distinct_count` on the pivot
+    key).  Plan: per batch, each type becomes a masked value column and
+    one Arrow ``group_by`` emits ≤ n_users wide partial rows, so the
+    shuffle carries |users|×|types| numbers per batch instead of the
+    event stream; the global ``groupby`` then sums domain-sized
+    partials.  Reference analogue: the two-level grouped counts of A3
+    (creator.py:151-171) widened over a fixed category set."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    out_cols = [f"{ty}_sum" for ty in types]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty, oc in zip(types, out_cols):
+            mask = pc.equal(t["event_type"], pa.scalar(ty))
+            cols[oc] = pc.if_else(mask, t["value"], pa.scalar(0.0))
+        w = pa.table(cols)
+        g = w.group_by(["user_id"]).aggregate([(oc, "sum") for oc in out_cols])
+        return g.rename_columns(["user_id", *out_cols])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(oc, alias_name=oc) for oc in out_cols])
+    )
+    return out.map_batches(_round_cols(out_cols), batch_format="pyarrow")
+
+
+# --- rollup (multi-level grouped aggregate, GROUP BY ROLLUP semantics) -----
+def rollup_agg(sf_dir: str):
+    """lineitem aggregated at THREE grouping levels in one result —
+    ``(l_returnflag, l_linestatus)``, ``(l_returnflag)`` and the grand
+    total — with NULLs marking the rolled-up columns, exactly SQL's
+    ``GROUP BY ROLLUP``.
+
+    The input is scanned ONCE at the finest level (per-batch Arrow
+    combiner → one domain-sized groupby, as :func:`grouped_agg`); the
+    coarser levels re-aggregate that finest RESULT — a key-domain-sized
+    dataset (|rf|·|ls| rows), never the input — so the rollup costs one
+    wide shuffle plus two trivially small ones regardless of row
+    count."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+    )
+
+    def _shape(t: pa.Table, null_ls: bool, null_rf: bool = False) -> pa.Table:
+        n = len(t)
+        rf = pa.nulls(n, pa.string()) if null_rf else pc.cast(t["l_returnflag"], pa.string())
+        ls = pa.nulls(n, pa.string()) if null_ls else pc.cast(t["l_linestatus"], pa.string())
+        return pa.table(
+            {
+                "l_returnflag": rf,
+                "l_linestatus": ls,
+                "sum_qty": pc.cast(t["sum_qty"], pa.float64()),
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+            }
+        )
+
+    mid = (
+        fine.groupby("l_returnflag")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+        .map_batches(lambda t: _shape(t, null_ls=True), batch_format="pyarrow")
+    )
+    top = (
+        fine.groupby(None)
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+        .map_batches(
+            lambda t: _shape(
+                t.append_column("l_returnflag", pa.nulls(len(t), pa.string()))
+                .append_column("l_linestatus", pa.nulls(len(t), pa.string())),
+                null_ls=True,
+                null_rf=True,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    fine_s = fine.map_batches(lambda t: _shape(t, null_ls=False), batch_format="pyarrow")
+    return fine_s.union(mid, top).map_batches(
+        _round_cols(["sum_qty"]), batch_format="pyarrow"
+    )
+
+
+# --- salted join (hot-key mitigation for large-large shuffles) -------------
+def skew_join(sf_dir: str, salts: int = 8):
+    """lineitem ⋈ supplier → per-nation item count + revenue, executed
+    as a SALTED join: the probe side's key is extended with a
+    deterministic ``salt = l_orderkey % salts`` and every build row is
+    replicated once per salt, so ONE hot supplier key spreads over
+    ``salts`` join partitions instead of pinning a single aggregator
+    (the standard hot-key mitigation; same idea as the LSH emitter's
+    ``salt_limit`` on blocking keys, stages/blocking.py).
+
+    Use when the build side is too big to broadcast (else
+    :func:`broadcast_join` wins) AND probe keys are skewed — the cost is
+    a ``salts``× replication of the build side, which is why salts stays
+    small.  Result is salt-invariant by construction (pinned by
+    ``tests/test_ops.py``); the oracle is the plain unsalted SQL join."""
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_orderkey", "l_extendedprice"])
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def salt_probe(t: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.subtract(
+                t["l_orderkey"],
+                pc.multiply(pc.divide(t["l_orderkey"], pa.scalar(salts)), pa.scalar(salts)),
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "salt": s,
+                "l_extendedprice": t["l_extendedprice"],
+            }
+        )
+
+    def replicate_build(t: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), salts)
+        rep = t.take(pa.array(idx))
+        salt = pa.array(np.tile(np.arange(salts, dtype=np.int32), len(t)))
+        return pa.table(
+            {
+                "s_suppkey": rep["s_suppkey"],
+                "s_salt": salt,
+                "s_nationkey": rep["s_nationkey"],
+            }
+        )
+
+    joined = li.map_batches(salt_probe, batch_format="pyarrow").join(
+        sup.map_batches(replicate_build, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=auto_join_partitions(None),
+        on=("l_suppkey", "salt"),
+        right_on=("s_suppkey", "s_salt"),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+    out = joined.groupby("s_nationkey").aggregate(
+        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="revenue")
+    )
+    return out.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")

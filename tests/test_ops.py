@@ -6,6 +6,7 @@ distributed one — ``SimplifiedBruteForceSearcher`` style).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -553,6 +554,30 @@ class TestTextStats:
 
 @pytest.mark.usefixtures("ray_session")
 class TestEventAndSampleOps:
+    def test_skew_join_salt_invariant(self):
+        """The salted join's result must not depend on the salt count:
+        salts=1 degenerates to a plain hash join; salts=8 spreads hot
+        keys over 8 partitions. Byte-identical output pins that the
+        replicate/salt plumbing never duplicates or drops a match."""
+        from mel_ray.relational import skew_join
+
+        a = skew_join(SF, salts=1).to_pandas().sort_values("s_nationkey").reset_index(drop=True)
+        b = skew_join(SF, salts=8).to_pandas().sort_values("s_nationkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_rollup_levels_consistent(self):
+        """Each rollup level must re-sum to the grand total, and the
+        NULL pattern must be exactly {fine, per-flag, total}."""
+        from mel_ray.relational import rollup_agg
+
+        df = rollup_agg(SF).to_pandas()
+        total = df[df.l_returnflag.isna()]
+        assert len(total) == 1 and total.l_linestatus.isna().all()
+        fine = df[df.l_returnflag.notna() & df.l_linestatus.notna()]
+        mid = df[df.l_returnflag.notna() & df.l_linestatus.isna()]
+        assert fine.n_rows.sum() == mid.n_rows.sum() == int(total.n_rows.iloc[0])
+        assert abs(fine.sum_qty.sum() - float(total.sum_qty.iloc[0])) < 0.05
+
     def test_asof_join_matches_naive(self):
         """Backward as-of join vs a per-user naive Python scan."""
         import pyarrow.parquet as pq

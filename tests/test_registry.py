@@ -101,4 +101,7 @@ def test_driver_window_holds_oracle_bearing_queries():
         "knn_capped",           # per-label-cap variant of in-window knn_bruteforce
         "corpus_boilerplate_lines",  # line-dedup family: corpus_dup_groups in window
         "doc_dup_ngram_fraction",  # quality family: doc_quality_filter in window
+        "pivot_wide",           # wide conditional-agg: grouped_agg family in window
+        "rollup_agg",           # multi-level agg: grouped_agg family in window
+        "skew_join",            # salted-plan variant of in-window hash_join
     }
