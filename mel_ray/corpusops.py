@@ -40,9 +40,20 @@ def corpus_dup_groups(sf_dir: str):
 
     Reads ONLY the content column and computes ONLY the sha — the full
     ingest (record fingerprint, rename remap, lengths) is dead weight
-    for this projection, and the groupby ships 64 B/row either way."""
+    for this projection, and the groupby ships 64 B/row either way.
+
+    The sha projection shrinks each block ~20× (content dropped), so
+    the read's block count leaves the sort-aggregate with hundreds of
+    ~150 KB blocks and block_count × partition_count bookkeeping slices
+    dominating the shuffle (measured 40% of the query wall at sf0.1).
+    A shuffle-free coalesce to ~CPU-count blocks before the groupby
+    restores sanely-sized sort inputs; at cluster scale CPU count grows
+    with nodes, so blocks stay bounded either way."""
+    import ray
+
     from .functions.hashing import sha256_hex
 
+    n_out = max(8, int(ray.cluster_resources().get("CPU", 32)))
     ds = I.read_corpus(_corpus_files(sf_dir), columns=["content"])
     return (
         ds.map_batches(
@@ -50,6 +61,7 @@ def corpus_dup_groups(sf_dir: str):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        .repartition(n_out)
         .groupby("sha256")
         .aggregate(Count(alias_name="n_copies"))
     )
