@@ -49,11 +49,9 @@ def corpus_dup_groups(sf_dir: str):
     A shuffle-free coalesce to ~CPU-count blocks before the groupby
     restores sanely-sized sort inputs; at cluster scale CPU count grows
     with nodes, so blocks stay bounded either way."""
-    import ray
-
     from .functions.hashing import sha256_hex
+    from .util import shuffle_partitions
 
-    n_out = max(8, int(ray.cluster_resources().get("CPU", 32)))
     ds = I.read_corpus(_corpus_files(sf_dir), columns=["content"])
     return (
         ds.map_batches(
@@ -61,7 +59,7 @@ def corpus_dup_groups(sf_dir: str):
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        .repartition(n_out)
+        .repartition(shuffle_partitions())
         .groupby("sha256")
         .aggregate(Count(alias_name="n_copies"))
     )
@@ -69,15 +67,31 @@ def corpus_dup_groups(sf_dir: str):
 
 def corpus_rename_counts(sf_dir: str):
     """rows per canonical repo after the repo-rename broadcast map (the
-    QID-redirect remap analogue, qids_remap.py:35-55)."""
+    QID-redirect remap analogue, qids_remap.py:35-55).
+
+    Reads ONLY the repo column — the remap touches nothing else, and
+    running the full ingest (content read + sha256 + fingerprint) for a
+    one-column groupby is dead weight.  The remap map is driver-small
+    by construction and closes over the batch fn (shipped once per
+    task via the closure, ~KBs).  The repo-only blocks are tiny, so the
+    groupby input is coalesced like :func:`corpus_dup_groups` (the
+    aggregate over fragment-sized blocks was 6.2 s of this query's
+    7.5 s wall at sf0.1)."""
+    from .util import shuffle_partitions
+
     corpus = ensure_corpus(sf_dir)
     import pyarrow.parquet as pq
 
     ren = pq.read_table(corpus / "repo_renames.parquet").to_pandas()
     renames = dict(zip(ren.old_repo, ren.new_repo))
-    ds = I.ingest(I.read_corpus(str(corpus / "files")), renames=renames)
+    ds = I.read_corpus(str(corpus / "files"), columns=["repo"])
     return (
-        ds.map_batches(lambda t: t.select(["repo"]), batch_format="pyarrow")
+        ds.map_batches(
+            lambda t: pa.table({"repo": I.remap_column(t["repo"], renames)}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .repartition(shuffle_partitions())
         .groupby("repo")
         .aggregate(Count(alias_name="n_files"))
     )

@@ -1314,6 +1314,10 @@ def rollup_agg(sf_dir: str):
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n_rows", alias_name="n_rows"))
+        # three lazy consumers (fine/mid/top) would each re-execute the
+        # full input scan; the finest aggregate is key-domain-sized
+        # (|rf|·|ls| rows), so materializing it is free and load-bearing
+        .materialize()
     )
 
     def _shape(t: pa.Table, null_ls: bool, null_rf: bool = False) -> pa.Table:

@@ -39,21 +39,28 @@ def record_fingerprint(
     return (h >> np.uint64(1)).astype(np.int64)
 
 
+def remap_column(arr: pa.Array | pa.ChunkedArray, renames: dict[str, str]) -> pa.Array:
+    """Vectorized dict-lookup remap of a string column (reference:
+    dense-array remap, qids_remap.py:35-55); small map -> index_in +
+    take, unmapped values pass through."""
+    keys = pa.array(list(renames.keys()), pa.string())
+    vals = pa.array(list(renames.values()), pa.string())
+    idx = pc.index_in(arr, value_set=keys)
+    out = pc.if_else(pc.is_valid(idx), pc.take(vals, idx), arr)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
 def ingest_batch(batch: pa.Table, renames: dict[str, str] | None = None) -> pa.Table:
     """Arrow-in/Arrow-out: add record_id, sha256, content_len; apply the
     repo-rename canonicalization map (broadcast small side)."""
-    repo = batch["repo"]
     if renames:
-        # vectorized dict-lookup remap (reference: dense-array remap,
-        # qids_remap.py:35-55); small map -> index_in + take
-        keys = pa.array(list(renames.keys()), pa.string())
-        vals = pa.array(list(renames.values()), pa.string())
-        idx = pc.index_in(repo, value_set=keys)
-        replacement = pc.take(vals, idx)
-        repo = pc.if_else(pc.is_valid(idx), replacement, repo)
-        if isinstance(repo, pa.ChunkedArray):
-            repo = repo.combine_chunks()
-        batch = batch.set_column(batch.schema.get_field_index("repo"), "repo", repo)
+        batch = batch.set_column(
+            batch.schema.get_field_index("repo"),
+            "repo",
+            remap_column(batch["repo"], renames),
+        )
     rid = record_fingerprint(batch["repo"], batch["path"], batch["commit"])
     sha = sha256_hex(batch["content"])
     clen = pc.binary_length(pc.cast(batch["content"], pa.binary()))
