@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_wide": relational.pivot_wide,
         "rollup_agg": relational.rollup_agg,
         "skew_join": relational.skew_join,
+        "grouped_corr": relational.grouped_corr,
+        "ranked_per_key": relational.ranked_per_key,
+        "left_outer_join": relational.left_outer_join,
+        "doc_pmi_bigrams": textops.doc_pmi_bigrams,
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -367,6 +371,61 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS revenue
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY 1
+        """,
+        "grouped_corr": """
+            -- same float64 expression tree as the Ray finalizer
+            -- (co-moment sums -> cov / sqrt(vx*vy)), rounded to 6 dp on
+            -- both sides because partial sums of 2-dp prices are not
+            -- exactly representable in float64
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   round(
+                     (sum(l_quantity * l_extendedprice) / count(*)
+                        - (sum(l_quantity) / count(*)) * (sum(l_extendedprice) / count(*)))
+                     / sqrt(
+                        (sum(l_quantity * l_quantity) / count(*)
+                           - (sum(l_quantity) / count(*)) * (sum(l_quantity) / count(*)))
+                        * (sum(l_extendedprice * l_extendedprice) / count(*)
+                           - (sum(l_extendedprice) / count(*)) * (sum(l_extendedprice) / count(*)))),
+                     6) AS corr_qty_price
+            FROM lineitem GROUP BY 1
+        """,
+        "ranked_per_key": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER w AS rn,
+                   lag(o_totalprice) OVER w AS prev_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC)
+        """,
+        "left_outer_join": """
+            SELECT c_custkey, c_nationkey,
+                   coalesce(o.n_orders, 0) AS n_orders
+            FROM customer
+            LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+                       FROM orders GROUP BY 1) o
+              ON c_custkey = o.o_custkey
+        """,
+        "doc_pmi_bigrams": f"""
+            WITH docs AS (
+              SELECT regexp_extract_all(text, '{TOKEN_RE}') AS ws FROM documents),
+            uni AS (
+              SELECT u.w AS w, count(*) AS c
+              FROM docs, unnest(ws) AS u(w) GROUP BY 1),
+            big AS (
+              SELECT u.p[1] AS w1, u.p[2] AS w2, count(*) AS n_pairs
+              FROM docs, unnest(list_zip(ws, ws[2:])) AS u(p)
+              WHERE u.p[2] IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT (SELECT sum(c)::DOUBLE FROM uni) AS nn,
+                           (SELECT sum(n_pairs)::DOUBLE FROM big) AS mm)
+            SELECT w1, w2, n_pairs,
+                   round(ln((n_pairs / mm)
+                            / ((c1.c / nn) * (c2.c / nn))), 6) AS pmi
+            FROM big
+            JOIN uni c1 ON big.w1 = c1.w
+            JOIN uni c2 ON big.w2 = c2.w
+            CROSS JOIN tot
+            WHERE n_pairs >= 5
         """,
         "pivot_wide": """
             SELECT user_id,

@@ -1415,3 +1415,175 @@ def skew_join(sf_dir: str, salts: int = 8):
         Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="revenue")
     )
     return out.map_batches(_round_cols(["revenue"]), batch_format="pyarrow")
+
+
+# --- grouped Pearson correlation (T10 family: exact distributed moments) ---
+def grouped_corr(sf_dir: str):
+    """Per-key Pearson correlation of quantity vs extended price — the
+    bivariate extension of :func:`grouped_stats` (reference telemetry,
+    utils/running_averages.py:4-58, generalized to exact distributed
+    co-moments).
+
+    Scale shape: each batch emits ONE partial row per key carrying the
+    six associative sums (n, Σx, Σy, Σx², Σy², Σxy), so the shuffle is
+    key-sized regardless of row count; the correlation is finalized
+    after the combine with the SAME float64 expression tree the oracle
+    SQL spells out, then rounded to 6 dp on both sides (the partial
+    sums of 2-dp prices are not exactly representable, so bit-equality
+    of the raw ratio is not guaranteed — the shared rounding is)."""
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.float64())
+        y = pc.cast(t["l_extendedprice"], pa.float64())
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        g = t2.group_by(["l_returnflag"]).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xx", "sum"), ("yy", "sum"), ("xy", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "sx", "sy", "sxx", "syy", "sxy", "n"])
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("n", alias_name="n_rows"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_rows"], pa.float64())
+        mx = pc.divide(t["sx"], n)
+        my = pc.divide(t["sy"], n)
+        cov = pc.subtract(pc.divide(t["sxy"], n), pc.multiply(mx, my))
+        vx = pc.subtract(pc.divide(t["sxx"], n), pc.multiply(mx, mx))
+        vy = pc.subtract(pc.divide(t["syy"], n), pc.multiply(my, my))
+        corr = pc.divide(cov, pc.sqrt(pc.multiply(vx, vy)))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n_rows": pc.cast(t["n_rows"], pa.int64()),
+                "corr_qty_price": corr,
+            }
+        )
+
+    return combined.map_batches(finalize, batch_format="pyarrow").map_batches(
+        _round_cols(["corr_qty_price"], nd=6), batch_format="pyarrow"
+    )
+
+
+# --- per-key ranking window (row_number + lag, no per-group pandas) --------
+def ranked_per_key(sf_dir: str):
+    """Per-customer order ranking: ``row_number`` by (totalprice desc,
+    orderkey asc) plus ``lag(totalprice)`` within the key — the two
+    window primitives the reference's per-group "most_common / previous
+    value" idioms reduce to (A4 grouped argmax is rank==1 of exactly
+    this ordering).
+
+    Scale shape: the same ONE-bucketed-groupby discipline as
+    :func:`_bucketed_head` — every key of a bucket is ranked by a single
+    NumPy lexsort and run-detection, so a hot customer is a longer run
+    inside one vectorized sort, never a per-group pandas straggler.  The
+    shuffle moves each row once (hash on key), like any window over an
+    unsorted table must."""
+    from .functions.hashing import U64, splitmix64
+    from .util import shuffle_partitions
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    num_buckets = shuffle_partitions()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t["o_custkey"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = splitmix64(col.to_numpy().astype(np.int64).view(U64))
+        return t.append_column("bucket", pa.array((h % U64(num_buckets)).astype(np.int32)))
+
+    def rank(group: pa.Table) -> pa.Table:
+        keys = group["o_custkey"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = keys.to_numpy(zero_copy_only=False)
+        price = group["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((okey, -price, codes))
+        codes_s, price_s = codes[o], price[o]
+        run_start = np.ones(len(codes_s), dtype=bool)
+        run_start[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(codes_s)))
+        rn = np.arange(len(codes_s)) - np.repeat(starts, lens) + 1
+        prev = np.empty_like(price_s)
+        prev[1:] = price_s[:-1]
+        valid = ~run_start  # first row of each key has no predecessor
+        return pa.table(
+            {
+                "o_custkey": pa.array(codes_s),
+                "o_orderkey": pa.array(okey[o]),
+                "o_totalprice": pa.array(price_s),
+                "rn": pa.array(rn.astype(np.int64)),
+                "prev_price": pa.array(
+                    np.where(valid, prev, np.nan), mask=~valid
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+# --- left outer join (null-filled probe-preserving join) -------------------
+def left_outer_join(sf_dir: str):
+    """Every customer with its order count — customers without orders
+    kept (count 0): the probe-preserving ``left_outer`` plan the
+    clustering stage uses to attach component labels without dropping
+    singleton records (stages/clustering.py:262-268).
+
+    Scale shape: the build side is pre-aggregated to ONE row per key
+    before the join (combiner-first, so the exchange carries key-sized
+    counts, not raw orders), then a partitioned left-outer hash join;
+    null fill is a vectorized coalesce."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    joined = cust.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=auto_join_partitions(None),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64())), pa.int64()
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_nationkey": t["c_nationkey"],
+                "n_orders": n,
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

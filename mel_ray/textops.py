@@ -985,3 +985,144 @@ def doc_dup_ngram_fraction(sf_dir: str, n: int = 5):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- PMI collocations (corpus-level bigram association) ---------------------
+def doc_pmi_bigrams(sf_dir: str, min_pairs: int = 5):
+    """Corpus-wide PMI collocations: for every adjacent word pair seen
+    at least ``min_pairs`` times, ``ln((c_xy/M) / ((c_x/N)(c_y/N)))``
+    over unigram/bigram token totals — the association statistic a
+    training-data pipeline uses to mine multi-word terms (same
+    count-then-join dataflow as :func:`doc_tfidf_top_terms`'s df
+    attachment; tokenization shares ``TOKEN_RE`` with every text op).
+
+    Scale shape: ONE text scan emits per-batch partial counts for
+    unigrams, bigrams AND the two grand totals (ridden as reserved
+    empty-string keys, so N and M need no second scan); the shuffle is
+    vocab-sized.  Rare bigrams are dropped right after the combine —
+    BEFORE the materialize — so the held set is bounded by the frequent-
+    bigram vocabulary, and unigram counts are attached BY JOIN (like the
+    tf-idf df table, a 100-TB vocabulary never transits the driver)."""
+    from .util import auto_join_partitions
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                t["text"], pattern=r"[^A-Za-z0-9]+", replacement=" "
+            ),
+            pattern=" ",
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        docix = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        mask = pc.and_(pc.is_valid(flat), pc.greater(pc.utf8_length(flat), 0))
+        keep = mask.to_numpy(zero_copy_only=False)
+        words = flat.filter(mask).to_numpy(zero_copy_only=False)
+        docix = docix[keep]
+        adj = docix[1:] == docix[:-1]
+        w1 = words[:-1][adj]
+        w2 = words[1:][adj]
+        tables = [
+            pa.table({"w1": pa.array(words), "w2": pa.array(np.full(len(words), "", dtype=object))}),
+            pa.table({"w1": pa.array(w1), "w2": pa.array(w2)}),
+        ]
+        both = pa.concat_tables(tables)
+        g = both.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["w1", "w2", "cnt"])
+        # grand totals ride the shuffle as reserved keys ('' is not a word)
+        totals = pa.table(
+            {
+                "w1": pa.array(["", ""]),
+                "w2": pa.array(["", "*"]),
+                "cnt": pa.array([len(words), int(adj.sum())], pa.int64()),
+            }
+        )
+        return pa.concat_tables([g.set_column(2, "cnt", pc.cast(g["cnt"], pa.int64())), totals])
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(RSum("cnt", alias_name="cnt"))
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        is_uni = pc.equal(t["w2"], pa.scalar(""))
+        is_total = pc.equal(t["w1"], pa.scalar(""))
+        frequent = pc.greater_equal(t["cnt"], pa.scalar(min_pairs, pa.int64()))
+        return t.filter(pc.or_(pc.or_(is_uni, is_total), frequent))
+
+    kept = counts.map_batches(prune, batch_format="pyarrow").materialize()
+
+    tot = {
+        r["w2"]: r["cnt"]
+        for r in kept.map_batches(
+            lambda t: t.filter(pc.equal(t["w1"], pa.scalar(""))),
+            batch_format="pyarrow",
+        ).take(4)
+    }
+    n_tokens, n_bigrams = float(tot[""]), float(tot["*"])
+
+    def split_uni(name_w: str, name_c: str):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(t["w2"], pa.scalar("")), pc.not_equal(t["w1"], pa.scalar("")))
+            u = t.filter(m)
+            return pa.table({name_w: u["w1"], name_c: u["cnt"]})
+
+        return f
+
+    def split_big(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.not_equal(t["w2"], pa.scalar("")), pc.not_equal(t["w1"], pa.scalar("")))
+        m = pc.and_(m, pc.not_equal(t["w2"], pa.scalar("*")))
+        b = t.filter(m)
+        return pa.table({"w1": b["w1"], "w2": b["w2"], "n_pairs": b["cnt"]})
+
+    uni_a = kept.map_batches(split_uni("wa", "c1"), batch_format="pyarrow")
+    uni_b = kept.map_batches(split_uni("wb", "c2"), batch_format="pyarrow")
+    big = kept.map_batches(split_big, batch_format="pyarrow")
+
+    nparts = auto_join_partitions(None)
+    j = big.join(
+        uni_a,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("w1",),
+        right_on=("wa",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    ).join(
+        uni_b,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("w2",),
+        right_on=("wb",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def pmi(t: pa.Table) -> pa.Table:
+        cxy = pc.cast(t["n_pairs"], pa.float64())
+        cx = pc.cast(t["c1"], pa.float64())
+        cy = pc.cast(t["c2"], pa.float64())
+        # same float64 expression tree as the oracle SQL
+        val = pc.ln(
+            pc.divide(
+                pc.divide(cxy, pa.scalar(n_bigrams)),
+                pc.multiply(
+                    pc.divide(cx, pa.scalar(n_tokens)),
+                    pc.divide(cy, pa.scalar(n_tokens)),
+                ),
+            )
+        )
+        out = pa.table(
+            {
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "n_pairs": t["n_pairs"],
+                "pmi": pc.round(val, ndigits=6, round_mode="half_towards_infinity"),
+            }
+        )
+        return out
+
+    return j.map_batches(pmi, batch_format="pyarrow")

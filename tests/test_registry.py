@@ -104,4 +104,8 @@ def test_driver_window_holds_oracle_bearing_queries():
         "pivot_wide",           # wide conditional-agg: grouped_agg family in window
         "rollup_agg",           # multi-level agg: grouped_agg family in window
         "skew_join",            # salted-plan variant of in-window hash_join
+        "grouped_corr",         # moments family: grouped_agg/mean_agg in window
+        "ranked_per_key",       # window family: windowed_agg/sessionize in window
+        "left_outer_join",      # join family: hash_join/broadcast_join in window
+        "doc_pmi_bigrams",      # count-then-join family: doc_tfidf in window
     }
