@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_per_key": relational.ranked_per_key,
         "left_outer_join": relational.left_outer_join,
         "doc_pmi_bigrams": textops.doc_pmi_bigrams,
+        "doc_decontaminate": textops.doc_decontaminate,
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -426,6 +427,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni c2 ON big.w2 = c2.w
             CROSS JOIN tot
             WHERE n_pairs >= 5
+        """,
+        "doc_decontaminate": f"""
+            WITH bench AS (
+              SELECT DISTINCT u.p[1] || ' ' || u.p[2] || ' ' || u.p[3] AS g
+              FROM (SELECT regexp_extract_all(text, '{TOKEN_RE}') AS ws
+                    FROM documents WHERE doc_id % 97 = 0) d,
+                   unnest(list_zip(ws, ws[2:], ws[3:])) AS u(p)
+              WHERE u.p[3] IS NOT NULL),
+            probe AS (
+              SELECT doc_id, u.p[1] || ' ' || u.p[2] || ' ' || u.p[3] AS g
+              FROM (SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS ws
+                    FROM documents WHERE doc_id % 97 <> 0) d,
+                   unnest(list_zip(ws, ws[2:], ws[3:])) AS u(p)
+              WHERE u.p[3] IS NOT NULL)
+            SELECT p.doc_id, count(*) AS n_hits
+            FROM probe p JOIN bench b ON p.g = b.g
+            GROUP BY 1
         """,
         "pivot_wide": """
             SELECT user_id,

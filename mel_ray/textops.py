@@ -1126,3 +1126,103 @@ def doc_pmi_bigrams(sf_dir: str, min_pairs: int = 5):
         return out
 
     return j.map_batches(pmi, batch_format="pyarrow")
+
+
+# --- benchmark decontamination (broadcast n-gram semi-join) -----------------
+def doc_decontaminate(sf_dir: str, mod: int = 97):
+    """Benchmark decontamination: flag every training document whose
+    word 3-grams overlap a held-out evaluation set (here the docs with
+    ``doc_id % mod == 0`` stand in for the benchmark) and count the
+    overlapping trigram instances — the standard pre-training hygiene
+    pass (GPT-3/PaLM-style 13-gram decontamination, shrunk to trigrams
+    so the oracle SQL stays tractable at test scale).
+
+    Scale shape: the benchmark side is small BY DEFINITION (an eval
+    suite), so its distinct trigrams are built once, ``ray.put`` once,
+    and fetched once per actor (``__init__``) — the broadcast-semi-join
+    pattern (qids_remap.py:35-55); the 100-TB training corpus streams
+    through one scan with a vectorized ``pc.is_in`` probe and never
+    shuffles.  Trigram text (not a hash) is probed so membership is
+    exact and SQL-mirrorable."""
+
+    def _trigrams(t: pa.Table):
+        """(trigram StringArray, per-trigram doc row index) for a batch."""
+        lists = pc.split_pattern_regex(
+            pc.replace_substring_regex(
+                t["text"], pattern=r"[^A-Za-z0-9]+", replacement=" "
+            ),
+            pattern=" ",
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.flatten()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        docix = np.repeat(np.arange(len(t), dtype=np.int64), lens)
+        mask = pc.and_(pc.is_valid(flat), pc.greater(pc.utf8_length(flat), 0))
+        keep = mask.to_numpy(zero_copy_only=False)
+        words = flat.filter(mask)
+        docix = docix[keep]
+        n = len(words)
+        if n < 3:
+            return pa.array([], pa.string()), np.empty(0, dtype=np.int64)
+        same_doc = docix[2:] == docix[:-2]
+        tri = pc.binary_join_element_wise(
+            words.slice(0, n - 2), words.slice(1, n - 2), words.slice(2, n - 2), " "
+        )
+        sel = pa.array(same_doc)
+        return tri.filter(sel), docix[:-2][same_doc]
+
+    def _mod(col):
+        return pc.subtract(col, pc.multiply(pc.divide(col, pa.scalar(mod)), pa.scalar(mod)))
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.equal(_mod(t["doc_id"]), pa.scalar(0))),
+        batch_format="pyarrow",
+    )
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        tri, _ = _trigrams(t)
+        return pa.table({"g": pc.unique(tri)})
+
+    bench_grams = np.unique(
+        np.concatenate(
+            [
+                b["g"].to_numpy(zero_copy_only=False)
+                for b in bench.map_batches(bench_partial, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
+            or [np.empty(0, dtype=object)]
+        )
+    )
+    grams_ref = ray.put(pa.array(bench_grams, pa.string()))
+
+    probe = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.not_equal(_mod(t["doc_id"]), pa.scalar(0))),
+        batch_format="pyarrow",
+    )
+
+    class Probe:
+        def __init__(self, ref):
+            self.grams = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tri, docix = _trigrams(t)
+            if len(tri) == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+                )
+            hit = pc.is_in(tri, value_set=self.grams).to_numpy(zero_copy_only=False)
+            counts = np.bincount(docix[hit], minlength=len(t))
+            rows = np.flatnonzero(counts > 0)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)[rows]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_hits": pa.array(counts[rows].astype(np.int64)),
+                }
+            )
+
+    return probe.map_batches(
+        Probe, fn_constructor_args=(grams_ref,), batch_format="pyarrow", concurrency=2
+    )
