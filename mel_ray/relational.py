@@ -1431,8 +1431,6 @@ def grouped_corr(sf_dir: str):
     SQL spells out, then rounded to 6 dp on both sides (the partial
     sums of 2-dp prices are not exactly representable, so bit-equality
     of the raw ratio is not guaranteed — the shared rounding is)."""
-    from ray.data.aggregate import Min
-
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
 
     def partial(t: pa.Table) -> pa.Table:
