@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_outer_join": relational.left_outer_join,
         "doc_pmi_bigrams": textops.doc_pmi_bigrams,
         "doc_decontaminate": textops.doc_decontaminate,
+        "grouped_mode": relational.grouped_mode,
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -444,6 +445,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, count(*) AS n_hits
             FROM probe p JOIN bench b ON p.g = b.g
             GROUP BY 1
+        """,
+        "grouped_mode": """
+            SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_occurrences
+            FROM (
+              SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                     row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY count(*) DESC, l_quantity ASC) AS rn
+              FROM lineitem GROUP BY 1, 2)
+            WHERE rn = 1
         """,
         "pivot_wide": """
             SELECT user_id,

@@ -1585,3 +1585,40 @@ def left_outer_join(sf_dir: str):
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# --- grouped mode (modal value per key, deterministic tie-break) ------------
+def grouped_mode(sf_dir: str):
+    """Most frequent quantity per returnflag (smallest value wins ties)
+    — the "pick the canonical representative by count" shape (J8/A4:
+    creator.py:179-206 grouped argmax) composed OVER derived counts
+    instead of raw rows.
+
+    Scale shape: per-batch Arrow combiner → one (key,value)-domain-sized
+    groupby for the counts, then the :func:`_bucketed_head` argmax (one
+    bucketed shuffle of the count table, single lexsort per bucket) —
+    the raw rows are never re-shuffled and no worker holds more than a
+    bucket of the count domain."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["l_returnflag", "l_quantity", "cnt"])
+        return g.set_column(2, "cnt", pc.cast(g["cnt"], pa.int64()))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_quantity"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    top = _bucketed_head(
+        counts,
+        "l_returnflag",
+        [("cnt", False), ("l_quantity", True)],
+        1,
+        ["l_returnflag", "l_quantity", "cnt"],
+    )
+    return top.map_batches(
+        lambda t: t.rename_columns(["l_returnflag", "mode_qty", "n_occurrences"]),
+        batch_format="pyarrow",
+    )

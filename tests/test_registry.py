@@ -109,4 +109,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "left_outer_join",      # join family: hash_join/broadcast_join in window
         "doc_pmi_bigrams",      # count-then-join family: doc_tfidf in window
         "doc_decontaminate",    # broadcast-semi-join family: semi_join in window
+        "grouped_mode",         # argmax-over-counts: grouped_argmax in window
     }
