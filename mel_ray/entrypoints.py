@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pmi_bigrams": textops.doc_pmi_bigrams,
         "doc_decontaminate": textops.doc_decontaminate,
         "grouped_mode": relational.grouped_mode,
+        "ntile_per_key": relational.ntile_per_key,
+        "grouped_concat": relational.grouped_concat,
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -455,6 +457,21 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY count(*) DESC, l_quantity ASC) AS rn
               FROM lineitem GROUP BY 1, 2)
             WHERE rn = 1
+        """,
+        "ntile_per_key": """
+            SELECT l_returnflag, tile, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM (SELECT l_returnflag, l_quantity,
+                    ntile(4) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_quantity, l_orderkey, l_linenumber) AS tile
+                  FROM lineitem)
+            GROUP BY 1, 2
+        """,
+        "grouped_concat": """
+            SELECT c_nationkey,
+                   string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+                   count(DISTINCT c_mktsegment) AS n_segments
+            FROM customer GROUP BY 1
         """,
         "pivot_wide": """
             SELECT user_id,

@@ -1622,3 +1622,137 @@ def grouped_mode(sf_dir: str):
         lambda t: t.rename_columns(["l_returnflag", "mode_qty", "n_occurrences"]),
         batch_format="pyarrow",
     )
+
+
+# --- ntile window (equi-depth tiling per key) -------------------------------
+def ntile_per_key(sf_dir: str, n: int = 4):
+    """Quantity quartiles within each returnflag — ``NTILE(n)`` over
+    (quantity, orderkey, linenumber), aggregated to per-(key, tile)
+    counts and sums.  The equi-depth tiling the reference's per-group
+    "split into R equal batches" idiom reduces to (the BatcherDataset
+    S4 contract, datasets.py:22-101, is NTILE over arrival order).
+
+    Scale shape: same ONE-bucketed-groupby discipline as
+    :func:`_bucketed_head` — each bucket tiles ALL its keys with a
+    single lexsort + run-detection (a hot key is a longer run, never a
+    per-group sort), and the per-(key, tile) aggregate collapses inside
+    the bucket, so the stage emits a domain-sized table and the raw
+    rows shuffle exactly once."""
+    from .functions.hashing import U64, hash_strings64
+    from .util import shuffle_partitions
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"]
+    )
+    num_buckets = shuffle_partitions()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t["l_returnflag"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash_strings64(col)
+        return t.append_column("bucket", pa.array((h % U64(num_buckets)).astype(np.int32)))
+
+    def tile(group: pa.Table) -> pa.Table:
+        keys = group["l_returnflag"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy()
+        qty = group["l_quantity"].to_numpy(zero_copy_only=False)
+        okey = group["l_orderkey"].to_numpy(zero_copy_only=False)
+        lno = group["l_linenumber"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((lno, okey, qty, codes))
+        codes_s, qty_s = codes[o], qty[o]
+        run_start = np.ones(len(codes_s), dtype=bool)
+        run_start[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(run_start)
+        lens = np.diff(np.append(starts, len(codes_s)))
+        i = np.arange(len(codes_s)) - np.repeat(starts, lens)  # 0-based in key
+        s = np.repeat(lens, lens).astype(np.int64)
+        base, rem = s // n, s % n
+        cut = rem * (base + 1)  # SQL NTILE: first (s mod n) tiles get one extra
+        t_id = np.where(
+            i < cut, i // (base + 1), rem + (i - cut) // np.maximum(base, 1)
+        ) + 1
+        part = pa.table(
+            {
+                "l_returnflag": pa.array(
+                    enc.dictionary.take(pa.array(codes_s.astype(np.int64)))
+                ),
+                "tile": pa.array(t_id.astype(np.int64)),
+                "qty": pa.array(qty_s.astype(np.float64)),
+            }
+        )
+        agg = part.group_by(["l_returnflag", "tile"]).aggregate(
+            [("qty", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "tile": agg["tile"],
+                "n_rows": pc.cast(agg["count_all"], pa.int64()),
+                "sum_qty": agg["qty_sum"],
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(tile, batch_format="pyarrow")
+    )
+    return out.map_batches(_round_cols(["sum_qty"]), batch_format="pyarrow")
+
+
+# --- ordered string aggregation (grouped concat) ----------------------------
+def grouped_concat(sf_dir: str):
+    """Per nation: the sorted '|'-joined set of its customers' market
+    segments — ``string_agg(DISTINCT ... ORDER BY ...)``: the
+    "assemble the alias list per entity" shape (creator.py:151-171
+    builds exactly this name-list-per-qid string table).
+
+    Scale shape: distinct (nation, segment) pairs are collapsed
+    per-batch by an Arrow combiner BEFORE the shuffle, so the exchange
+    and the concat stage see a (key x segment-domain)-sized table, not
+    raw customers; the per-run join loop therefore iterates over
+    domain-sized runs, never over input rows."""
+    from .functions.hashing import U64, splitmix64
+    from .util import shuffle_partitions
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    num_buckets = shuffle_partitions()
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["c_nationkey", "c_mktsegment"]).aggregate([])
+        key = g["c_nationkey"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = splitmix64(key.to_numpy().astype(np.int64).view(U64))
+        return g.append_column("bucket", pa.array((h % U64(num_buckets)).astype(np.int32)))
+
+    def concat(group: pa.Table) -> pa.Table:
+        # group is pre-deduped per batch, not globally: dedupe again here.
+        g = group.group_by(["c_nationkey", "c_mktsegment"]).aggregate([])
+        keys = g["c_nationkey"].to_numpy(zero_copy_only=False)
+        segs = g["c_mktsegment"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((segs, keys))
+        keys_s, segs_s = keys[o], segs[o]
+        run_start = np.ones(len(keys_s), dtype=bool)
+        run_start[1:] = keys_s[1:] != keys_s[:-1]
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:], len(keys_s))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(keys_s[run_start].astype(np.int64)),
+                "segments": pa.array(
+                    ["|".join(segs_s[a:b]) for a, b in zip(starts, ends)]
+                ),
+                "n_segments": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(concat, batch_format="pyarrow")
+    )

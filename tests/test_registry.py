@@ -110,4 +110,6 @@ def test_driver_window_holds_oracle_bearing_queries():
         "doc_pmi_bigrams",      # count-then-join family: doc_tfidf in window
         "doc_decontaminate",    # broadcast-semi-join family: semi_join in window
         "grouped_mode",         # argmax-over-counts: grouped_argmax in window
+        "ntile_per_key",        # bucketed-window family: sessionize/running_sum in window
+        "grouped_concat",       # grouped-agg family: grouped_agg/grouped_topk in window
     }
