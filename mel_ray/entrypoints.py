@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_mode": relational.grouped_mode,
         "ntile_per_key": relational.ntile_per_key,
         "grouped_concat": relational.grouped_concat,
+        "grouped_zscore": relational.grouped_zscore,
         "unique_batcher": relational.unique_batcher,
         "grouped_stats": relational.grouped_stats,
         "bloom_semi_join": relational.bloom_semi_join,
@@ -472,6 +473,15 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
                    count(DISTINCT c_mktsegment) AS n_segments
             FROM customer GROUP BY 1
+        """,
+        "grouped_zscore": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round((l_extendedprice - s/n) / sqrt(ss/n - (s/n)*(s/n)), 4) AS z
+            FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                    sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS s,
+                    sum(l_extendedprice*l_extendedprice) OVER (PARTITION BY l_returnflag) AS ss,
+                    CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+                  FROM lineitem)
         """,
         "pivot_wide": """
             SELECT user_id,

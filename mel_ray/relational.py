@@ -1756,3 +1756,78 @@ def grouped_concat(sf_dir: str):
         .groupby("bucket")
         .map_groups(concat, batch_format="pyarrow")
     )
+
+
+# --- per-group z-score standardization (feature scaling) --------------------
+def grouped_zscore(sf_dir: str):
+    """Standardize extendedprice within each returnflag — the
+    per-population feature-scaling step of the scorer's featurize stage
+    (M16 L2-normalize, utils/embeddings.py:55-123, is the vector-space
+    version of exactly this scalar contract).
+
+    Scale shape: one combiner-first pass reduces the input to a
+    DOMAIN-sized (key -> sum, sumsq, n) table; that table is collapsed
+    on the driver (3 rows), shipped once via ``ray.put``, and the big
+    side streams through a stateless vectorized transform — the raw
+    rows are never shuffled, the only exchange is the domain-sized
+    stats groupby.  Mean/std use the same float64 expression tree as
+    the SQL oracle (ss/n - (s/n)^2, memory: oracle discipline)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_extendedprice"], pa.float64())
+        g = (
+            pa.table(
+                {"l_returnflag": t["l_returnflag"], "s": x, "ss": pc.multiply(x, x)}
+            )
+            .group_by(["l_returnflag"])
+            .aggregate([("s", "sum"), ("ss", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "s": g["s_sum"],
+                "ss": g["ss_sum"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Sum("n", alias_name="n"),
+        )
+        .to_pandas()  # domain-sized: one row per returnflag
+    )
+    n = stats["n"].to_numpy(dtype=np.float64)
+    s, ss = stats["s"].to_numpy(), stats["ss"].to_numpy()
+    mean = s / n
+    std = np.sqrt(ss / n - mean * mean)
+    lookup_ref = ray.put((pa.array(stats["l_returnflag"]), mean, std))
+
+    def z(t: pa.Table) -> pa.Table:
+        keys, mean_v, std_v = ray.get(lookup_ref)
+        idx = pc.index_in(t["l_returnflag"], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        x = pc.cast(t["l_extendedprice"], pa.float64()).to_numpy()
+        zv = (x - mean_v[idx]) / std_v[idx]
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "l_returnflag": t["l_returnflag"],
+                "z": pa.array(zv),
+            }
+        )
+
+    return ds.map_batches(z, batch_format="pyarrow").map_batches(
+        _round_cols(["z"], nd=4), batch_format="pyarrow"
+    )

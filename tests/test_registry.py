@@ -112,4 +112,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "grouped_mode",         # argmax-over-counts: grouped_argmax in window
         "ntile_per_key",        # bucketed-window family: sessionize/running_sum in window
         "grouped_concat",       # grouped-agg family: grouped_agg/grouped_topk in window
+        "grouped_zscore",       # broadcast-stats family: broadcast_join/mean_agg in window
     }
