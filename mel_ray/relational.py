@@ -1625,6 +1625,18 @@ def grouped_mode(sf_dir: str):
 
 
 # --- ntile window (equi-depth tiling per key) -------------------------------
+def ntile_ids(i: np.ndarray, s: np.ndarray, n: int) -> np.ndarray:
+    """SQL ``NTILE(n)`` tile id (1-based) for 0-based within-partition
+    index ``i`` in a partition of size ``s`` (both vectorized): the
+    first ``s mod n`` tiles get one extra row.  Matches DuckDB for every
+    partition size including ``s < n`` (then each row is its own tile)."""
+    base, rem = s // n, s % n
+    cut = rem * (base + 1)
+    return (
+        np.where(i < cut, i // (base + 1), rem + (i - cut) // np.maximum(base, 1)) + 1
+    )
+
+
 def ntile_per_key(sf_dir: str, n: int = 4):
     """Quantity quartiles within each returnflag — ``NTILE(n)`` over
     (quantity, orderkey, linenumber), aggregated to per-(key, tile)
@@ -1670,11 +1682,7 @@ def ntile_per_key(sf_dir: str, n: int = 4):
         lens = np.diff(np.append(starts, len(codes_s)))
         i = np.arange(len(codes_s)) - np.repeat(starts, lens)  # 0-based in key
         s = np.repeat(lens, lens).astype(np.int64)
-        base, rem = s // n, s % n
-        cut = rem * (base + 1)  # SQL NTILE: first (s mod n) tiles get one extra
-        t_id = np.where(
-            i < cut, i // (base + 1), rem + (i - cut) // np.maximum(base, 1)
-        ) + 1
+        t_id = ntile_ids(i, s, n)
         part = pa.table(
             {
                 "l_returnflag": pa.array(

@@ -400,3 +400,26 @@ def test_strsim_equal_fast_path_identical_to_dp():
     assert (lev == lev_full).all()
     assert jw[0] == jw[1] == jw[2] == 1.0
     assert lev[4] == 1.0
+
+
+def test_ntile_ids_matches_duckdb_all_small_sizes():
+    """ntile_per_key's tile formula vs DuckDB NTILE for every partition
+    size the bucketed tiler can see, including s < n (each row its own
+    tile) — the test data never exercises small partitions."""
+    import duckdb
+    import numpy as np
+
+    from mel_ray.relational import ntile_ids
+
+    for n in (2, 4, 7):
+        for s in range(1, 30):
+            i = np.arange(s)
+            mine = ntile_ids(i, np.full(s, s, dtype=np.int64), n).tolist()
+            ref = [
+                r[0]
+                for r in duckdb.sql(
+                    f"SELECT ntile({n}) OVER (ORDER BY x) "
+                    f"FROM (SELECT unnest(range({s})) x)"
+                ).fetchall()
+            ]
+            assert mine == ref, (n, s)
