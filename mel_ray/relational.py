@@ -1471,7 +1471,14 @@ def grouped_corr(sf_dir: str):
         cov = pc.subtract(pc.divide(t["sxy"], n), pc.multiply(mx, my))
         vx = pc.subtract(pc.divide(t["sxx"], n), pc.multiply(mx, mx))
         vy = pc.subtract(pc.divide(t["syy"], n), pc.multiply(my, my))
-        corr = pc.divide(cov, pc.sqrt(pc.multiply(vx, vy)))
+        denom = pc.sqrt(pc.multiply(vx, vy))
+        # constant x or y in a group: DuckDB corr() returns NULL; float
+        # division by the zero denominator would give +/-inf/NaN instead
+        corr = pc.if_else(
+            pc.equal(denom, pa.scalar(0.0)),
+            pa.scalar(None, pa.float64()),
+            pc.divide(cov, denom),
+        )
         return pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
@@ -1826,13 +1833,23 @@ def grouped_zscore(sf_dir: str):
             zero_copy_only=False
         )
         x = pc.cast(t["l_extendedprice"], pa.float64()).to_numpy()
-        zv = (x - mean_v[idx]) / std_v[idx]
+        # DuckDB float division by zero yields NULL, not +/-inf: mask
+        # zero-variance groups to null so the hash-exact contract holds
+        # even on degenerate (constant) groups
+        sd = std_v[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zv = (x - mean_v[idx]) / sd
+        z_col = pc.if_else(
+            pa.array(sd == 0.0),
+            pa.scalar(None, pa.float64()),
+            pa.array(np.where(sd == 0.0, 0.0, zv), pa.float64()),
+        )
         return pa.table(
             {
                 "l_orderkey": t["l_orderkey"],
                 "l_linenumber": t["l_linenumber"],
                 "l_returnflag": t["l_returnflag"],
-                "z": pa.array(zv),
+                "z": z_col,
             }
         )
 

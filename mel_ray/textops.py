@@ -1026,9 +1026,17 @@ def doc_pmi_bigrams(sf_dir: str, min_pairs: int = 5):
         adj = docix[1:] == docix[:-1]
         w1 = words[:-1][adj]
         w2 = words[1:][adj]
+        # explicit string type: pa.array on an EMPTY object ndarray infers
+        # null type, which breaks pa.concat_tables schema unification on
+        # batches of short/empty documents
         tables = [
-            pa.table({"w1": pa.array(words), "w2": pa.array(np.full(len(words), "", dtype=object))}),
-            pa.table({"w1": pa.array(w1), "w2": pa.array(w2)}),
+            pa.table(
+                {
+                    "w1": pa.array(words, pa.string()),
+                    "w2": pa.array(np.full(len(words), "", dtype=object), pa.string()),
+                }
+            ),
+            pa.table({"w1": pa.array(w1, pa.string()), "w2": pa.array(w2, pa.string())}),
         ]
         both = pa.concat_tables(tables)
         g = both.group_by(["w1", "w2"]).aggregate([([], "count_all")])
@@ -1055,7 +1063,14 @@ def doc_pmi_bigrams(sf_dir: str, min_pairs: int = 5):
         frequent = pc.greater_equal(t["cnt"], pa.scalar(min_pairs, pa.int64()))
         return t.filter(pc.or_(pc.or_(is_uni, is_total), frequent))
 
-    kept = counts.map_batches(prune, batch_format="pyarrow").materialize()
+    from .util import drop_schemaless_blocks
+
+    # drop the groupby's zero-column empty blocks up front (they pass
+    # through map_batches untouched and break the unigram-attach joins
+    # on near-empty corpora — see drop_schemaless_blocks)
+    kept = drop_schemaless_blocks(
+        counts.map_batches(prune, batch_format="pyarrow")
+    )
 
     tot = {
         r["w2"]: r["cnt"]
@@ -1064,7 +1079,20 @@ def doc_pmi_bigrams(sf_dir: str, min_pairs: int = 5):
             batch_format="pyarrow",
         ).take(4)
     }
-    n_tokens, n_bigrams = float(tot[""]), float(tot["*"])
+    n_tokens, n_bigrams = float(tot.get("", 0)), float(tot.get("*", 0))
+    if n_bigrams == 0:
+        # empty / token-free corpus: return an empty typed table instead of
+        # a KeyError (the reserved-key totals rows never materialized)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "pmi": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def split_uni(name_w: str, name_c: str):
         def f(t: pa.Table) -> pa.Table:
@@ -1084,7 +1112,26 @@ def doc_pmi_bigrams(sf_dir: str, min_pairs: int = 5):
     uni_b = kept.map_batches(split_uni("wb", "c2"), batch_format="pyarrow")
     big = kept.map_batches(split_big, batch_format="pyarrow")
 
-    nparts = auto_join_partitions(None)
+    # Ray 2.49's hash join emits schema-less shards for zero-row input
+    # blocks, so a join partition fed only by them dies (FieldRef no
+    # match).  At scale the vocab-sized sides occupy every partition;
+    # on a tiny corpus force a single partition (where empty typed
+    # blocks are handled) and short-circuit when no bigram is frequent.
+    if kept.count() < 50_000:
+        if big.count() == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "w1": pa.array([], pa.string()),
+                        "w2": pa.array([], pa.string()),
+                        "n_pairs": pa.array([], pa.int64()),
+                        "pmi": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        nparts = 1
+    else:
+        nparts = auto_join_partitions(None)
     j = big.join(
         uni_a,
         join_type="inner",

@@ -135,3 +135,36 @@ def auto_pool_size(requested: int | None) -> int:
     if requested is not None:
         return requested
     return max(2, cluster_cpus() // 4)
+
+
+def drop_schemaless_blocks(ds):
+    """Rebuild an (already materialized) dataset without its
+    zero-COLUMN empty blocks.
+
+    Ray's hash-shuffle groupby emits schema-less empty blocks for
+    aggregation partitions that received no rows; downstream
+    ``Dataset.join`` concatenates the blocks of a join partition and
+    dies with ``FieldRef.Name(...) no match`` when one of them has no
+    columns (latent on any post-groupby join over a near-empty input —
+    never at scale, always on a 10-row test corpus).  The rebuild is
+    metadata-only: the driver inspects per-block row counts from the
+    ref bundles and re-assembles refs; block DATA never leaves the
+    object store.  If every block is empty, one typed empty block is
+    synthesized from the dataset schema so the join keeps its column
+    contract."""
+    import pyarrow as pa
+    import ray
+
+    mat = ds.materialize()
+    keep = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                keep.append(ref)
+    if keep:
+        return ray.data.from_arrow_refs(keep)
+    schema = mat.schema()
+    empty = pa.table(
+        {f.name: pa.array([], f.type) for f in pa.schema(schema.base_schema)}
+    )
+    return ray.data.from_arrow(empty)

@@ -790,3 +790,74 @@ class TestEventAndSampleOps:
         assert a.equals(b) and len(a) == 20
         pop = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"]).to_pandas()
         assert a.o_totalprice.mean() > 1.2 * pop.o_totalprice.mean()
+
+    def test_pmi_bigrams_empty_and_short_docs(self, tmp_path):
+        """ADVICE r4: short/empty documents must not crash the partials
+        schema (null-typed empty arrays) and a token-free corpus must
+        return an empty typed table, not a KeyError."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.textops import doc_pmi_bigrams
+
+        # corpus with NO tokens at all
+        empty_dir = tmp_path / "empty"
+        empty_dir.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["   ", "!!! ???"])}),
+            empty_dir / "documents.parquet",
+        )
+        out_ds = doc_pmi_bigrams(str(empty_dir))
+        # Ray's to_pandas drops columns on 0-row datasets; the dataset
+        # schema is the contract
+        assert out_ds.schema().names == ["w1", "w2", "n_pairs", "pmi"]
+        assert out_ds.count() == 0
+
+        # mix of empty and single-token docs alongside real ones: the
+        # empty-batch partials path must concat cleanly
+        mixed_dir = tmp_path / "mixed"
+        mixed_dir.mkdir()
+        texts = ["", " ", "one", "alpha beta gamma"] + ["alpha beta"] * 6
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)}),
+            mixed_dir / "documents.parquet",
+        )
+        out = doc_pmi_bigrams(str(mixed_dir), min_pairs=5).to_pandas()
+        assert set(zip(out.w1, out.w2)) == {("alpha", "beta")}
+        row = out.iloc[0]
+        # naive PMI oracle: 16 tokens, 8 bigrams, c(alpha)=c(beta)=7,
+        # c(alpha,beta)=7 -> ln((7/8) / ((7/16) * (7/16)))
+        assert row.n_pairs == 7
+        assert abs(row.pmi - np.log((7 / 8) / ((7 / 16) * (7 / 16)))) < 1e-6
+
+    def test_zscore_and_corr_constant_groups_null(self, tmp_path):
+        """ADVICE r4: zero-variance groups must yield NULL (DuckDB
+        division-by-zero semantics), never +/-inf or NaN."""
+        import pyarrow.parquet as pq
+
+        from mel_ray.relational import grouped_corr, grouped_zscore
+
+        d = tmp_path / "const"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+                    "l_linenumber": pa.array([1, 1, 1, 1], pa.int64()),
+                    "l_returnflag": pa.array(["A", "A", "B", "B"]),
+                    "l_linestatus": pa.array(["O", "O", "O", "O"]),
+                    "l_quantity": pa.array([1.0, 2.0, 5.0, 5.0]),
+                    "l_extendedprice": pa.array([10.0, 10.0, 3.0, 7.0]),
+                }
+            ),
+            d / "lineitem.parquet",
+        )
+        z = grouped_zscore(str(d)).to_pandas()
+        a_rows = z[z.l_returnflag == "A"]
+        b_rows = z[z.l_returnflag == "B"].sort_values("l_orderkey")
+        assert a_rows.z.isna().all()  # constant price in A -> NULL
+        assert list(b_rows.z) == [-1.0, 1.0]
+        c = grouped_corr(str(d)).to_pandas().set_index("l_returnflag")
+        assert np.isnan(c.loc["A", "corr_qty_price"])  # constant y
+        assert np.isnan(c.loc["B", "corr_qty_price"])  # constant x
