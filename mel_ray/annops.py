@@ -938,6 +938,8 @@ def semantic_dedup(
     num_clusters: int = 32,
     threshold: float = 0.60,
     iters: int = 3,
+    salt_limit: int = 16384,
+    sweep_tile: int = 2048,
 ):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means over
     L2-normalized embeddings, then an exact cosine sweep INSIDE each
@@ -947,15 +949,25 @@ def semantic_dedup(
 
     Ray-Data shape: each k-means iteration is one ``map_batches`` pass
     emitting per-cluster partial sums (k x d floats per batch — tiny),
-    reduced on the driver like the other bounded-domain aggregates;
-    centroids are ROUNDED to 6 dp each round so the result is
-    independent of partial-sum order.  The final sweep is a
-    ``groupby(cluster).map_groups`` — no worker ever holds more than its
-    cluster, and at 100 TB ``num_clusters`` scales with the corpus so a
-    cluster stays worker-sized (the paper's setting; a skewed mega-
-    cluster would be salted + pair-swept exactly like the LSH bands).
-    Deterministic: centroids init from the ``num_clusters`` lowest
-    vec_ids, assignment ties -> lowest cluster index."""
+    reduced by a ``groupby("cluster").map_groups`` that sums the
+    partials in batch-key order (deterministic regardless of shuffle
+    arrival), so only the k reduced centroid rows ever reach the
+    driver — NOT the per-block partials (at 100 TB that would be ~1e6
+    driver-folded rows per iteration).  Centroids are ROUNDED to 6 dp
+    each round so the result is independent of partial-sum grouping.
+
+    The final sweep is a ``groupby(cluster).map_groups`` — no worker
+    ever holds more than its cluster.  Inside the sweep the similarity
+    matrix is computed in ``sweep_tile``-sized tiles (never the full
+    n² matrix: peak extra memory is tile² floats), and a cluster
+    larger than ``salt_limit`` is SALTED into
+    ceil(n/salt_limit) deterministic sub-groups by
+    splitmix64(vec_id) — the same mitigation as the LSH mega-bands
+    (stages/blocking.py salted runs).  Salting is a semantic cap
+    (cross-sub-group duplicates are missed), so it is never silent:
+    each salted cluster logs a warning with its size and sub-group
+    count.  Deterministic: centroids init from the ``num_clusters``
+    lowest vec_ids, assignment ties -> lowest cluster index."""
     ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
@@ -983,6 +995,22 @@ def semantic_dedup(
     ).combine_chunks()
     centroids = binary_matrix(init_tbl["unit"], np.float64)
 
+    def reduce_cluster(g: pa.Table) -> pa.Table:
+        # sum partials in batch-key order: deterministic no matter how
+        # the shuffle delivered them (float addition is not associative
+        # at the last bit; sorted order pins the fold)
+        order = np.argsort(g["part_key"].to_numpy(), kind="stable")
+        s = np.zeros_like(np.frombuffer(g["s"][0].as_py(), dtype=np.float64))
+        for i in order:
+            s += np.frombuffer(g["s"][int(i)].as_py(), dtype=np.float64)
+        return pa.table(
+            {
+                "cluster": pa.array([g["cluster"][0].as_py()], pa.int64()),
+                "s": _binary_rows(s[None, :]),
+                "n": pa.array([int(pa.compute.sum(g["n"]).as_py())], pa.int64()),
+            }
+        )
+
     for _ in range(iters):
         cref = ray.put(centroids)
 
@@ -993,20 +1021,32 @@ def semantic_dedup(
             sums = np.zeros((len(c), u.shape[1]), dtype=np.float64)
             np.add.at(sums, assign, u)
             counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            # batch identity for a deterministic reduce order: the
+            # lowest vec_id in the batch (batches partition the ids,
+            # so it is unique per batch)
+            pk = int(t["vec_id"][0].as_py()) if len(t) else -1
             return pa.table(
                 {
                     "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                    "part_key": pa.array(np.full(len(c), pk, dtype=np.int64)),
                     "s": _binary_rows(sums),
                     "n": pa.array(counts),
                 }
             )
 
-        parts = unit_ds.map_batches(partial, batch_format="pyarrow").take_all()
+        # distributed vector-sum: k rows come back, one per centroid —
+        # bounded by num_clusters, not by block count
+        reduced = (
+            unit_ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(reduce_cluster, batch_format="pyarrow")
+            .take_all()
+        )
         sums = np.zeros_like(centroids)
         counts = np.zeros(k, dtype=np.int64)
-        for row in parts:
-            sums[row["cluster"]] += np.frombuffer(row["s"], dtype=np.float64)
-            counts[row["cluster"]] += row["n"]
+        for row in reduced:
+            sums[row["cluster"]] = np.frombuffer(row["s"], dtype=np.float64)
+            counts[row["cluster"]] = row["n"]
         nz = counts > 0
         centroids = centroids.copy()
         centroids[nz] = sums[nz] / counts[nz, None]
@@ -1029,18 +1069,61 @@ def semantic_dedup(
 
     assigned = unit_ds.map_batches(assign_final, batch_format="pyarrow")
 
+    def _tiled_dup(ids: np.ndarray, u: np.ndarray) -> np.ndarray:
+        """exact lower-id duplicate flags, never materializing more
+        than a sweep_tile x sweep_tile similarity tile.  ``ids`` must
+        be sorted ascending; compares against ALL lower rows (dropped
+        rows still shadow later ones, per the SemDeDup spec)."""
+        n = len(ids)
+        dup = np.zeros(n, dtype=bool)
+        for i0 in range(0, n, sweep_tile):
+            i1 = min(i0 + sweep_tile, n)
+            blk = u[i0:i1]
+            # strictly-lower full tiles
+            for j0 in range(0, i0, sweep_tile):
+                j1 = min(j0 + sweep_tile, i0)
+                hit = (u[j0:j1] @ blk.T) >= threshold
+                dup[i0:i1] |= hit.any(axis=0)
+            # diagonal tile: only j < i pairs count
+            sim = blk @ blk.T
+            dup[i0:i1] |= np.triu(sim >= threshold, k=1).any(axis=0)
+        return dup
+
     def sweep(g: pa.Table) -> pa.Table:
         ids = g["vec_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
-        ids = ids[order]
+        ids = ids[order].astype(np.int64)
         u = binary_matrix(g["unit"], np.float64)[order]
-        sim = u @ u.T
-        dup = np.triu(sim >= threshold, k=1).any(axis=0)
+        n = len(ids)
+        if n > salt_limit:
+            # mega-cluster: deterministic salt into sub-groups (same
+            # mitigation as blocking.py's salted LSH runs).  Semantic
+            # cap — cross-sub-group dups are missed — so never silent.
+            from .functions.hashing import splitmix64
+
+            n_sub = int(np.ceil(n / salt_limit))
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: cluster %s has %d rows > salt_limit=%d; "
+                "salted into %d sub-groups (cross-sub-group duplicates "
+                "are not detected)",
+                g["cluster"][0].as_py(), n, salt_limit, n_sub,
+            )
+            sub = (
+                splitmix64(ids.view(np.uint64)) % np.uint64(n_sub)
+            ).astype(np.int64)
+            dup = np.zeros(n, dtype=bool)
+            for s in range(n_sub):
+                m = sub == s
+                dup[m] = _tiled_dup(ids[m], u[m])
+        else:
+            dup = _tiled_dup(ids, u)
         return pa.table(
             {
-                "vec_id": pa.array(ids.astype(np.int64)),
+                "vec_id": pa.array(ids),
                 "cluster": pa.array(
-                    np.full(len(ids), g["cluster"][0].as_py(), dtype=np.int64)
+                    np.full(n, g["cluster"][0].as_py(), dtype=np.int64)
                 ),
                 "kept": pa.array(~dup),
             }

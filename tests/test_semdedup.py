@@ -68,3 +68,59 @@ def test_semantic_dedup_matches_naive_oracle(tmp_path):
     assert got[int(ids[50])][1] is False
     assert got[int(ids[51])][1] is False
     assert sum(1 for _, (_, kk) in got.items() if not kk) >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semantic_dedup_salts_planted_mega_cluster(tmp_path):
+    """VERDICT r4: a cluster past salt_limit must be split into
+    deterministic splitmix64 sub-groups (memory/compute cap like the
+    LSH mega-bands) — every row still appears exactly once, each
+    sub-group keeps exactly its lowest vec_id when all rows are
+    near-identical, and the un-salted run keeps exactly one."""
+    rng = np.random.RandomState(7)
+    n, d = 300, 16
+    direction = rng.randn(d)
+    # one tight mega-cluster: all rows near-identical in direction
+    mat = direction[None, :] * rng.uniform(0.5, 2.0, size=(n, 1))
+    mat += 1e-4 * rng.randn(n, d)
+    ids = np.arange(n, dtype=np.int64) * 7 + 3
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array([row.astype(np.float32) for row in mat]),
+                "label": pa.array(np.zeros(n, dtype=np.int32)),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+
+    from mel_ray.annops import semantic_dedup
+    from mel_ray.functions.hashing import splitmix64
+
+    # un-salted baseline: single cluster, one survivor (the lowest id)
+    base = semantic_dedup(
+        str(tmp_path), num_clusters=1, threshold=0.99, iters=1
+    ).to_pandas()
+    assert len(base) == n
+    assert base[base.kept].vec_id.tolist() == [int(ids.min())]
+
+    # salted: salt_limit=50 -> ceil(300/50)=6 sub-groups
+    salt_limit = 50
+    out = semantic_dedup(
+        str(tmp_path), num_clusters=1, threshold=0.99, iters=1,
+        salt_limit=salt_limit,
+    ).to_pandas()
+    assert len(out) == n and out.vec_id.is_unique
+    n_sub = int(np.ceil(n / salt_limit))
+    sub = (splitmix64(ids.view(np.uint64)) % np.uint64(n_sub)).astype(int)
+    kept_ids = set(out[out.kept].vec_id)
+    # each sub-group keeps exactly its lowest vec_id (all rows are dups)
+    expect = {int(ids[sub == s].min()) for s in range(n_sub)}
+    assert kept_ids == expect
+
+    # tiled sweep is exact: a tiny tile must not change the un-salted answer
+    tiled = semantic_dedup(
+        str(tmp_path), num_clusters=1, threshold=0.99, iters=1, sweep_tile=17
+    ).to_pandas()
+    assert tiled[tiled.kept].vec_id.tolist() == [int(ids.min())]
