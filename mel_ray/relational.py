@@ -249,36 +249,60 @@ def hash_join(sf_dir: str):
 
 
 # --- M14/J3: semi join; J5/D5: anti join ----------------------------------
-def _urgent_custkeys(sf_dir: str) -> pa.Array:
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-    keys = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))).select(
-            ["o_custkey"]
-        ),
-        batch_format="pyarrow",
-    ).unique("o_custkey")
-    return pa.array(sorted(keys))
+def _urgent_custkeys_ref(sf_dir: str) -> "ray.ObjectRef":
+    """ObjectRef to the sorted unique URGENT custkeys, assembled by ONE
+    Ray task from the materialized key blocks (the bloom_semi_join
+    assembly-task pattern): the driver only ever holds block REFS — the
+    key data itself never transits the driver, it moves plasma-to-plasma
+    and is fetched zero-copy by each probe task."""
+    keys_ds = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    @ray.remote(num_cpus=0.25)
+    def assemble(*tables) -> pa.Array:
+        nonempty = [t for t in tables if len(t)]
+        if not nonempty:
+            return pa.array([], pa.int64())
+        ks = pa.concat_tables(nonempty)["o_custkey"]
+        return pa.array(np.unique(ks.to_numpy(zero_copy_only=False)))
+
+    return assemble.remote(*keys_ds.to_arrow_refs())
 
 
 def semi_join(sf_dir: str):
     """customers with >=1 URGENT order — broadcast key-set semi-join
-    (``pc.is_in``; _remove_when_qid_missing, datasets.py:95-101)."""
-    keys = _urgent_custkeys(sf_dir)
+    (``pc.is_in``; _remove_when_qid_missing, datasets.py:95-101).  The
+    key set is built worker-side and broadcast by ref, never collected
+    on the driver."""
+    kref = _urgent_custkeys_ref(sf_dir)
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)), batch_format="pyarrow"
-    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(kref)  # zero-copy plasma read per task
+        return t.filter(pc.is_in(t["c_custkey"], value_set=keys))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def anti_join(sf_dir: str):
     """customers with no URGENT order (inverted membership; the
     negative-sampler anti-join, negative_sampler.py:98-109)."""
-    keys = _urgent_custkeys(sf_dir)
+    kref = _urgent_custkeys_ref(sf_dir)
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys))),
-        batch_format="pyarrow",
-    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        keys = ray.get(kref)
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=keys)))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 # --- O8: distribution-weighted sampling -------------------------------------
@@ -764,15 +788,18 @@ def negative_sampling(sf_dir: str, k: int = 2):
     shuffle at all, the output streams."""
     import hashlib
 
+    from .util import unique_column_ref
+
     ds = _read(sf_dir, "events", ["event_id", "event_type"])
-    types = sorted(
-        _read(sf_dir, "events", ["event_type"]).unique("event_type")
+    # candidate type domain assembled worker-side (sorted pa.Array by
+    # ref); the domain never transits the driver
+    types_ref = unique_column_ref(
+        _read(sf_dir, "events", ["event_type"]), "event_type"
     )
-    types_ref = ray.put(types)
 
     class Sample:
         def __init__(self, ref):
-            self.types = ray.get(ref)
+            self.types = ray.get(ref).to_pylist()
 
         def __call__(self, t: pa.Table) -> pa.Table:
             md5 = hashlib.md5

@@ -471,9 +471,12 @@ def doc_heavy_hitter_words(sf_dir: str, k: int = 100):
         batch_format="pyarrow",
     )
     n_total = int(counts_only.aggregate(Sum("n"))["sum(n)"] or 0)
-    # candidate set: bounded by <= k words per batch — a genuine small side
-    cand = pa.array(sorted(phase1.unique("word")), pa.string())
-    cand_ref = _ray.put(cand)
+    # candidate set: bounded by <= k words per batch — a genuine small
+    # side, assembled worker-side and broadcast by ref (never collected
+    # on the driver)
+    from .util import unique_column_ref
+
+    cand_ref = unique_column_ref(phase1, "word")
 
     def verify_counts(t: pa.Table) -> pa.Table:
         cand_set = _ray.get(cand_ref)

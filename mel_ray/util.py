@@ -168,3 +168,29 @@ def drop_schemaless_blocks(ds):
         {f.name: pa.array([], f.type) for f in pa.schema(schema.base_schema)}
     )
     return ray.data.from_arrow(empty)
+
+
+def unique_column_ref(ds, col: str):
+    """ObjectRef to the SORTED UNIQUE values of ``col`` as a pyarrow
+    Array, assembled by ONE worker task from the dataset's materialized
+    blocks — the broadcast-small-side pattern WITHOUT the driver round
+    trip (``Dataset.unique()`` returns the values to the driver before
+    they can be re-broadcast; here the driver only holds block refs and
+    the values move plasma-to-plasma).  Consumers ``ray.get`` the ref
+    inside their batch fn / actor ``__init__`` (zero-copy read)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    mat = ds.materialize()
+    field_type = pa.schema(mat.schema().base_schema).field(col).type
+
+    @ray.remote(num_cpus=0.25)
+    def assemble(*tables) -> pa.Array:
+        nonempty = [t.select([col]) for t in tables if len(t)]
+        if not nonempty:
+            return pa.array([], field_type)
+        u = pc.unique(pa.concat_tables(nonempty)[col].combine_chunks())
+        return u.take(pc.array_sort_indices(u))
+
+    return assemble.remote(*mat.to_arrow_refs())
