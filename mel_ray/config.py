@@ -10,14 +10,17 @@ from dataclasses import dataclass, field
 class BlockingConfig:
     num_hashes: int = 128          # MinHash signature width K
     num_bands: int = 32            # b bands of r = K/b rows (s-curve ~0.42)
-    num_buckets: int = 512         # shuffle buckets for band groupby.
-                                   # Purely a parallelism/balance knob (pair
-                                   # emission is per band-run, not per
-                                   # bucket): the groupby sort yields at most
-                                   # num_buckets blocks, and per-run pair
-                                   # work is quadratic, so finer buckets
-                                   # balance the skew (round-1: 64 buckets
-                                   # capped the stage at 1.6x scaling 8->32)
+    num_buckets: int = 512         # UPPER BOUND on shuffle buckets for the
+                                   # band groupby.  Purely a parallelism /
+                                   # balance knob (pair emission is per
+                                   # band-run, not per bucket); the actual
+                                   # exchange key granularity is
+                                   # min(num_buckets, shuffle_partitions()) —
+                                   # one map_groups call per partition
+                                   # (round-5: 512 per-group calls dominated
+                                   # the emit phase), with balance preserved
+                                   # because per-run size is capped by
+                                   # stopband_limit
     salt_limit: int = 64           # band size above which members are salted
     stopband_limit: int = 4096     # band size above which the band is dropped
                                    # (the "Paris"-alias cap analogue,

@@ -60,7 +60,7 @@ def run_linkage(
     renames: dict[str, str] | None = None,
 ) -> LinkageResult:
     cfg = cfg or LinkageConfig()
-    from ..util import auto_join_partitions
+    from ..util import auto_join_partitions, shuffle_partitions
 
     join_parts = auto_join_partitions(cfg.join_partitions)
     ckpt = StageCheckpointer(
@@ -69,7 +69,21 @@ def run_linkage(
         config_token=repr((cfg.blocking, cfg.scoring, cfg.clustering, renames)),
     )
 
-    records = I.ingest(I.read_corpus(corpus_path), renames=renames)
+    # no checkpoint dir -> STREAMING plan: pairs flow straight from the
+    # band groupby into the scorer (no pair-stage materialization, no
+    # coalescing repartitions — the read is sized to shuffle-ready
+    # blocks instead, and band accounting goes to a keyed sink actor).
+    # Each avoided barrier/AllToAll is fixed wall-clock that does not
+    # shrink with cluster size (round-5 profile: ~12 s of exchange
+    # coordination in the pair stage at EVERY cpu count).
+    streaming = cfg.checkpoint_dir is None
+    records = I.ingest(
+        I.read_corpus(
+            corpus_path,
+            override_num_blocks=shuffle_partitions() if streaming else None,
+        ),
+        renames=renames,
+    )
 
     def _featurize(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         # batch_size bounds the kernel's transient working set (~15 uint64
@@ -101,18 +115,37 @@ def run_linkage(
     else:
         features = ckpt.through("features", lambda: _featurize(records))
 
-    pairs_full = ckpt.through(
-        "pairs", lambda: B.candidate_pairs(features, cfg.blocking, keep_stats=True)
-    )
-    # band accounting (no-silent-caps): the stats rows rode through the
-    # pair shuffle; summing them over the materialized stage is cheap
-    ckpt.stats["blocking_bands"] = B.extract_band_stats(pairs_full)
-    pairs = B.strip_band_stats(pairs_full)
+    if streaming:
+        from ..state.accounting import new_stats_sink
+
+        sink = new_stats_sink()
+        pairs = B.candidate_pairs(
+            features, cfg.blocking, stats_sink=sink, coalesce=False
+        )
+    else:
+        pairs_full = ckpt.through(
+            "pairs", lambda: B.candidate_pairs(features, cfg.blocking, keep_stats=True)
+        )
+        # band accounting (no-silent-caps): the stats rows rode through
+        # the pair shuffle; summing them over the materialized stage is
+        # cheap, and the accounting rides the checkpoint Parquet itself
+        ckpt.stats["blocking_bands"] = B.extract_band_stats(pairs_full)
+        pairs = B.strip_band_stats(pairs_full)
 
     scored = ckpt.through(
         "scored",
-        lambda: S.score_pairs_auto(pairs, features, cfg.scoring, cfg.blocking, join_parts),
+        lambda: S.score_pairs_auto(
+            pairs, features, cfg.scoring, cfg.blocking, join_parts, fan_out=not streaming
+        ),
     )
+    if streaming:
+        # scored is materialized, so every emit task has run and (via the
+        # in-task ray.get) recorded its bucket's counts — totals are final
+        totals = ray.get(sink.totals.remote("blocking"))
+        ckpt.stats["blocking_bands"] = {
+            k: totals.get(k, 0)
+            for k in ("dropped_bands", "salted_bands", "capped_groups")
+        }
 
     edges = scored.map_batches(
         lambda t: t.filter(pa.compute.equal(t["accepted"], True))

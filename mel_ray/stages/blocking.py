@@ -103,7 +103,9 @@ def binary_matrix(col: pa.Array | pa.ChunkedArray, dtype) -> np.ndarray:
     return data[start : start + len(col) * width].reshape(len(col), width)
 
 
-def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
+def expand_bands_batch(
+    batch: pa.Table, cfg: BlockingConfig, num_buckets: int | None = None
+) -> pa.Table:
     """features -> b band rows per record (the flat_map row expansion,
     analogue of DaMuELLinkProcessor's entity->links expansion,
     reference ``loaders/damuel.py:74-116``).
@@ -111,7 +113,16 @@ def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     Shingle-less records (all-sentinel signatures) are dropped before
     banding: their signatures are identical across rows, so they would
     otherwise collide in every band and verify at est_jaccard=1.0
-    despite true Jaccard 0."""
+    despite true Jaccard 0.
+
+    ``num_buckets`` (default ``cfg.num_buckets``) is the exchange key
+    granularity; callers pass the actual shuffle partition count so the
+    downstream ``map_groups`` makes ONE call per partition instead of
+    one per fine bucket (512 per-group calls each paying slice + table
+    construction + an accounting round trip measured as the emit
+    phase's dominant cost at 8 CPUs) — the emit kernel batches all band
+    runs in a group, so bucket granularity is purely a balance knob,
+    and per-run size is already bounded by ``stopband_limit``."""
     from ..functions.minhash import empty_signature_mask
 
     sig32 = binary_matrix(batch["sig"], np.uint32)
@@ -121,7 +132,7 @@ def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
         batch = batch.filter(pa.array(nonempty))
     band_id, band_hash = band_keys(sig32.astype(np.uint64), cfg.num_bands)
     rid = np.repeat(batch["record_id"].to_numpy(), cfg.num_bands)
-    bucket = (band_hash % U64(cfg.num_buckets)).astype(np.int32)
+    bucket = (band_hash % U64(num_buckets or cfg.num_buckets)).astype(np.int32)
     return pa.table(
         {
             "record_id": pa.array(rid),
@@ -131,7 +142,7 @@ def expand_bands_batch(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     )
 
 
-def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
+def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig, sink=None) -> pa.Table:
     """Vectorized pair emission for all band runs inside one bucket.
 
     Arrow-native in AND out: returning a pandas frame would re-attach
@@ -182,20 +193,30 @@ def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
     normal = live & ~salted
     for L in np.unique(lens[normal]):
         idxs = np.flatnonzero(normal & (lens == L))
-        # gather members matrix (num_runs, L), sort rows for canonical pairs
-        mem = rid[starts[idxs][:, None] + np.arange(L)[None, :]]
-        mem = np.sort(mem, axis=1)
-        iu, ju = np.triu_indices(L, k=1)
-        if len(idxs) * len(iu) > cfg.max_pairs_per_group:
-            # hard cap: emit star pairs to the min member only.  This is a
-            # SEMANTIC change (a different pair set), so it is counted in
-            # the stats row like drops/salting — no silent caps.
+        per_run = int(L) * (int(L) - 1) // 2
+        if per_run > cfg.max_pairs_per_group:
+            # hard per-RUN cap: emit star pairs to the min member only.
+            # This is a SEMANTIC change (a different pair set), so it is
+            # counted in the stats like drops/salting — no silent caps.
+            # The cap is a property of the RUN alone, never of how many
+            # runs share a shuffle partition: the pair set must be
+            # invariant to exchange-key granularity.
             n_capped_groups += len(idxs)
-            a = np.repeat(mem[:, 0], L - 1)
-            b = mem[:, 1:].reshape(-1)
-            out_a.append(a)
-            out_b.append(b)
-        else:
+            mem = rid[starts[idxs][:, None] + np.arange(L)[None, :]]
+            mem = np.sort(mem, axis=1)
+            out_a.append(np.repeat(mem[:, 0], L - 1))
+            out_b.append(mem[:, 1:].reshape(-1))
+            continue
+        # memory guard (NOT semantic): emit the length class in chunks so
+        # one gather never materializes more than ~max_pairs_per_group
+        # pairs at once
+        iu, ju = np.triu_indices(L, k=1)
+        chunk = max(1, cfg.max_pairs_per_group // max(per_run, 1))
+        for s in range(0, len(idxs), chunk):
+            part = idxs[s : s + chunk]
+            # gather members matrix (num_runs, L), sort rows for canonical pairs
+            mem = rid[starts[part][:, None] + np.arange(L)[None, :]]
+            mem = np.sort(mem, axis=1)
             out_a.append(mem[:, iu].reshape(-1))
             out_b.append(mem[:, ju].reshape(-1))
 
@@ -205,10 +226,31 @@ def _emit_pairs_for_bucket(group: pa.Table, cfg: BlockingConfig) -> pa.Table:
     else:
         a = np.empty(0, dtype=np.int64)
         b = np.empty(0, dtype=np.int64)
+    bucket_id = int(group["bucket"][0].as_py()) if len(group) else 0
+    if sink is not None:
+        # streaming accounting: record per-bucket counts in the keyed
+        # sink actor instead of emitting sentinel rows.  The ray.get
+        # makes "this emit task finished" imply "its counts are
+        # recorded", so totals read after the consuming stage
+        # materializes are race-free; keyed overwrite makes task
+        # retries idempotent (state/accounting.py).
+        import ray as _ray
+
+        _ray.get(
+            sink.put.remote(
+                "blocking",
+                bucket_id,
+                {
+                    "dropped_bands": n_dropped_bands,
+                    "salted_bands": n_salted_bands,
+                    "capped_groups": n_capped_groups,
+                },
+            )
+        )
+        return pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
     # one stats row per bucket rides along (band accounting for the
     # lineage manifest): id_a == -1 marks it, id_b = -(bucket+2) keeps it
     # unique so it survives pair dedup; callers filter by id_a == -1
-    bucket_id = int(group["bucket"][0].as_py()) if len(group) else 0
     stats_a = np.array([-1], dtype=np.int64)
     return pa.table(
         {
@@ -239,41 +281,63 @@ def candidate_pairs(
     features: "ray.data.Dataset",
     cfg: BlockingConfig,
     keep_stats: bool = False,
+    stats_sink=None,
+    coalesce: bool = True,
 ) -> "ray.data.Dataset":
     """features -> globally-unique candidate pairs (id_a < id_b).
 
-    With ``keep_stats=True`` the per-bucket band-accounting rows
-    (``id_a == -1``, unique ``id_b`` per bucket) flow THROUGH dedup and
-    come out in the result — no extra materialization barrier; the
-    caller extracts them from the (checkpointed) stage output with
-    :func:`extract_band_stats` and filters real pairs with
-    :func:`strip_band_stats`.  The no-silent-caps accounting for
-    stopband drops and salting."""
+    Band accounting (the no-silent-caps contract for stopband drops,
+    salting and caps) has two transports:
+
+    * ``keep_stats=True`` — per-bucket accounting rows (``id_a == -1``,
+      unique ``id_b`` per bucket) flow THROUGH dedup and come out in the
+      result, so a CHECKPOINTED pair stage carries its accounting in the
+      Parquet itself; callers extract with :func:`extract_band_stats` /
+      :func:`strip_band_stats`.
+    * ``stats_sink=<StatsSink handle>`` — counts go to the keyed sink
+      actor (state/accounting.py) and the result holds ONLY real pairs,
+      so the stage can stream straight into the scorer with no
+      materialization barrier (the no-checkpoint flagship path).
+
+    ``coalesce=False`` skips the pre-shuffle repartition when the caller
+    already sized the feature blocks to ``shuffle_partitions()`` (e.g.
+    via ``override_num_blocks`` at the read) — each repartition is a
+    full AllToAll barrier, and the round-5 profile showed the pair stage
+    dominated by exchange coordination, not CPU."""
     from ..util import shuffle_partitions
 
+    # exchange-key granularity: ~8 buckets per shuffle partition — coarse
+    # enough that per-group overhead (map_groups slicing, table
+    # construction, one accounting record) stays negligible, fine enough
+    # that each group's lexsort stays cache-sized (round-5 microbench on
+    # 19.2M band rows: 16 groups = 5.7s lexsort, 128 = 3.8s, 512 = 3.0s,
+    # but 512 groups pay ~2x their sort savings back in per-group calls)
+    n_buckets = min(cfg.num_buckets, 8 * shuffle_partitions())
     bands = features.map_batches(
-        lambda b: expand_bands_batch(b, cfg), batch_format="pyarrow", zero_copy_batch=True
+        lambda b: expand_bands_batch(b, cfg, num_buckets=n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     # coalesce the 16x-expanded band fragments before the sort shuffle:
     # the groupby exchanges num_blocks x num_partitions objects, so a
     # fragmented input makes coordination dominate (see shuffle_partitions)
-    grouped = (
-        bands.repartition(shuffle_partitions())
-        .groupby("bucket")
-        .map_groups(
-            lambda g: _emit_pairs_for_bucket(g, cfg),
-            batch_format="pyarrow",
-        )
+    if coalesce:
+        bands = bands.repartition(shuffle_partitions())
+    grouped = bands.groupby("bucket").map_groups(
+        lambda g: _emit_pairs_for_bucket(g, cfg, sink=stats_sink),
+        batch_format="pyarrow",
     )
+    if stats_sink is not None:
+        return dedup_pairs(grouped, cfg.num_buckets, coalesce=False)
     if keep_stats:
-        return dedup_pairs(grouped, cfg.num_buckets, carry_stats=True)
+        return dedup_pairs(grouped, cfg.num_buckets, carry_stats=True, coalesce=False)
     pairs = grouped.map_batches(
         lambda t: t.filter(pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))).select(
             ["id_a", "id_b"]
         ),
         batch_format="pyarrow",
     )
-    return dedup_pairs(pairs, cfg.num_buckets)
+    return dedup_pairs(pairs, cfg.num_buckets, coalesce=False)
 
 
 def extract_band_stats(pairs_with_stats: "ray.data.Dataset") -> dict:
@@ -311,7 +375,10 @@ def strip_band_stats(pairs_with_stats: "ray.data.Dataset") -> "ray.data.Dataset"
 
 
 def dedup_pairs(
-    pairs: "ray.data.Dataset", num_buckets: int, carry_stats: bool = False
+    pairs: "ray.data.Dataset",
+    num_buckets: int,
+    carry_stats: bool = False,
+    coalesce: bool = True,
 ) -> "ray.data.Dataset":
     """Global pair dedup (multi-band duplicates; D2 analogue —
     ``OnlyOnceDataset``, reference ``only_once_dataset.py:8-23`` — made
@@ -319,7 +386,16 @@ def dedup_pairs(
 
     ``carry_stats=True`` keeps the ``dropped_bands`` / ``salted_bands``
     columns through the shuffle (stats rows have unique keys, so they
-    all survive; real pairs carry zeros — 8 B/row of extra width)."""
+    all survive; real pairs carry zeros — 8 B/row of extra width).
+    ``coalesce=False`` skips the pre-shuffle repartition when the input
+    block count already matches ``shuffle_partitions()`` (e.g. pair
+    blocks straight out of the band groupby) — a no-op repartition is
+    still a full AllToAll barrier."""
+
+    from ..util import shuffle_partitions
+
+    # same granularity rule as the band exchange (see candidate_pairs)
+    n_buckets = min(num_buckets, 8 * shuffle_partitions())
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         from ..functions.hashing import hash_pairs64
@@ -328,7 +404,7 @@ def dedup_pairs(
             batch = batch.select(["id_a", "id_b"])
         h = hash_pairs64(batch["id_a"].to_numpy(), batch["id_b"].to_numpy())
         return batch.append_column(
-            "bucket", pa.array((h % U64(num_buckets)).astype(np.int32))
+            "bucket", pa.array((h % U64(n_buckets)).astype(np.int32))
         )
 
     def uniq(group: pa.Table) -> pa.Table:
@@ -345,11 +421,7 @@ def dedup_pairs(
                     out[c] = pa.array(group[c].to_numpy()[order][keep])
         return pa.table(out)
 
-    from ..util import shuffle_partitions
-
-    return (
-        pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .repartition(shuffle_partitions())
-        .groupby("bucket")
-        .map_groups(uniq, batch_format="pyarrow")
-    )
+    bucketed = pairs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    if coalesce:
+        bucketed = bucketed.repartition(shuffle_partitions())
+    return bucketed.groupby("bucket").map_groups(uniq, batch_format="pyarrow")

@@ -71,9 +71,22 @@ def ingest_batch(batch: pa.Table, renames: dict[str, str] | None = None) -> pa.T
     )
 
 
-def read_corpus(corpus_path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Pruned parquet read of the input table (SURVEY.md §2.1 S1)."""
-    return read_parquet_clean(corpus_path, columns=columns or CORPUS_COLUMNS)
+def read_corpus(
+    corpus_path: str,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Pruned parquet read of the input table (SURVEY.md §2.1 S1).
+
+    ``override_num_blocks`` sizes the scan's output blocks so fused
+    downstream maps emit shuffle-ready block counts (~2 blocks/CPU) —
+    otherwise the scan splits into hundreds of fragments and every
+    groupby needs a repartition (= an extra AllToAll barrier) first."""
+    return read_parquet_clean(
+        corpus_path,
+        columns=columns or CORPUS_COLUMNS,
+        override_num_blocks=override_num_blocks,
+    )
 
 
 def ingest(ds: "ray.data.Dataset", renames: dict[str, str] | None = None) -> "ray.data.Dataset":

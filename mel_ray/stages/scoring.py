@@ -28,7 +28,6 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import BlockingConfig, ScoringConfig
-from ..functions.embed import cosine_pairs
 from ..functions.strsim import jaro_winkler, levenshtein_ratio
 
 # Shuffle-join aggregator actors reserve fractional CPUs so that several
@@ -142,10 +141,13 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .blocking import binary_matrix
 
-        emb_a = binary_matrix(batch["emb_a"], np.float16).astype(np.float32)
-        emb_b = binary_matrix(batch["emb_b"], np.float16).astype(np.float32)
+        emb_a = binary_matrix(batch["emb_a"], np.float16)
+        emb_b = binary_matrix(batch["emb_b"], np.float16)
         est_j = batch["est_jaccard"].to_numpy()
-        cos = cosine_pairs(emb_a, emb_b)
+        # f32-accumulating einsum over the f16 rows: bit-identical to
+        # astype(f32)+dot (einsum casts per buffered chunk) without
+        # materializing two full-width f32 copies of the batch
+        cos = np.einsum("ij,ij->i", emb_a, emb_b, dtype=np.float32)
         path_jw = jaro_winkler(self._col(batch, "path_a"), self._col(batch, "path_b"))
         path_lev = levenshtein_ratio(
             self._col(batch, "path_a"), self._col(batch, "path_b"), max_len=64
@@ -206,65 +208,108 @@ def score_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _assemble_features(*tables):
-    """(worker task) feature blocks -> (ids_sorted, sig, emb, repo, path)."""
-    from .blocking import binary_matrix
+def _assemble_features_shard(lo: int, hi: int, *tables):
+    """(worker task) one record_id RANGE SHARD of the broadcast feature
+    table, sorted by record_id.  Every shard task reads all feature
+    blocks (zero-copy plasma) but copies only its ``[lo, hi)`` slice, so
+    S shard tasks assemble the table with S-way parallelism instead of
+    one serial concat+sort (round-5 profile: the single-task assembly of
+    a 600 MB table was a fixed serial cost at every CPU count).
+    record_id is a uniform 63-bit fingerprint (ingest.py), so equal-
+    width ranges are balanced without a quantile pass."""
+    parts = []
+    for t in tables:
+        rid = t["record_id"].to_numpy()
+        mask = (rid >= lo) & (rid < hi)
+        if mask.all():
+            parts.append(t)
+        elif mask.any():
+            parts.append(t.filter(pa.array(mask)))
+    cols = ["record_id", "sig", "emb", "repo", "path"]
+    if not parts:
+        schema = tables[0].schema if tables else None
+        return pa.table(
+            {c: pa.array([], schema.field(c).type if schema else pa.int64()) for c in cols}
+        )
+    t = pa.concat_tables([p.select(cols) for p in parts]).combine_chunks()
+    order = pa.array(np.argsort(t["record_id"].to_numpy(), kind="stable"))
+    return t.take(order).combine_chunks()
 
-    t = pa.concat_tables(tables).combine_chunks()
-    ids = t["record_id"].to_numpy()
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    take = pa.array(order)
-    sig = binary_matrix(t["sig"].combine_chunks(), np.uint32)[order]
-    emb = binary_matrix(t["emb"].combine_chunks(), np.float16)[order]
-    repo = pc.take(t["repo"].combine_chunks(), take)
-    path = pc.take(t["path"].combine_chunks(), take)
-    return ids, np.ascontiguousarray(sig), np.ascontiguousarray(emb), repo, path
 
-
-def _collect_features_ref(features: "ray.data.Dataset"):
-    """Broadcast-table ref WITHOUT driver materialization: the feature
-    blocks flow from the object store into one assembly TASK whose
-    return value is the broadcast object — the driver only ever holds
-    the ref (the qid-remap table pattern at honest scale)."""
+def _collect_feature_shards(features: "ray.data.Dataset") -> list:
+    """Broadcast-table shard refs WITHOUT driver materialization: the
+    feature blocks flow from the object store into parallel range-shard
+    assembly TASKS whose return values are the broadcast objects — the
+    driver only ever holds the refs (the qid-remap table pattern at
+    honest scale)."""
     import ray as _ray
 
+    from ..util import cluster_cpus
+
     refs = features.to_arrow_refs()
-    # fractional CPU: the assemble task must be schedulable WHILE the
-    # scorer actors (whose __init__ blocks on its output) hold their
-    # reservations — at num_cpus=2 a full-CPU task here deadlocks the
+    n_shards = max(2, min(16, cluster_cpus() // 2))
+    # fractional CPU: the assemble tasks must be schedulable WHILE the
+    # scorer actors (whose __init__ blocks on their output) hold their
+    # reservations — at num_cpus=2 full-CPU tasks here deadlock the
     # whole stage (see the fractional-cpu rule on JOIN_AGG_ARGS)
-    assemble = _ray.remote(num_returns=1, num_cpus=0.25)(_assemble_features)
-    return assemble.remote(*refs)
+    assemble = _ray.remote(num_returns=1, num_cpus=0.25)(_assemble_features_shard)
+    span = 1 << 63
+    bounds = [span * i // n_shards for i in range(n_shards + 1)]
+    return [assemble.remote(bounds[i], bounds[i + 1], *refs) for i in range(n_shards)]
 
 
 class BroadcastPairScorer:
     """Actor-pool scorer holding the broadcast feature table: per pair
-    batch, searchsorted id lookup + the same kernels as PairScorer."""
+    batch, searchsorted id lookup + the same kernels as PairScorer.
 
-    def __init__(self, ref, scoring: ScoringConfig):
+    The table arrives as range-sharded sorted blocks; the actor keeps
+    the shard chunks zero-copy (one chunked array per column) and only
+    concatenates the 8-byte ids, so N actors never hold N copies of the
+    sig/emb payload."""
+
+    def __init__(self, shard_refs, scoring: ScoringConfig):
         import ray as _ray
 
         from ..state.model_ckpt import scorer_weights
 
-        self.ids, self.sig, self.emb, self.repo, self.path = _ray.get(ref)
+        shards = [t for t in _ray.get(list(shard_refs)) if len(t)]
+        if shards:
+            # shards are consecutive sorted record_id ranges: their
+            # concatenation is globally sorted
+            self.ids = np.concatenate([t["record_id"].to_numpy() for t in shards])
+            chunks = lambda c: pa.chunked_array(  # noqa: E731
+                [ch for t in shards for ch in t[c].chunks]
+            )
+            self.sig = chunks("sig")
+            self.emb = chunks("emb")
+            self.repo = chunks("repo")
+            self.path = chunks("path")
+        else:
+            self.ids = np.empty(0, dtype=np.int64)
+            self.sig = self.emb = self.repo = self.path = pa.chunked_array(
+                [pa.array([], pa.binary())]
+            )
         self.cfg = scoring
         self.w = scorer_weights(scoring)  # model state, loaded once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.minhash import estimate_jaccard
+        from .blocking import binary_matrix
 
         a = batch["id_a"].to_numpy()
         b = batch["id_b"].to_numpy()
         ia = np.searchsorted(self.ids, a)
         ib = np.searchsorted(self.ids, b)
-        est_j = estimate_jaccard(self.sig[ia], self.sig[ib])  # empty sigs -> 0
+        sig_a = binary_matrix(pc.take(self.sig, pa.array(ia)).combine_chunks(), np.uint32)
+        sig_b = binary_matrix(pc.take(self.sig, pa.array(ib)).combine_chunks(), np.uint32)
+        est_j = estimate_jaccard(sig_a, sig_b)  # empty sigs -> 0
         keep = est_j >= self.cfg.jaccard_accept
         ia, ib, est_j = ia[keep], ib[keep], est_j[keep]
-        emb_a = self.emb[ia].astype(np.float32)
-        emb_b = self.emb[ib].astype(np.float32)
-        cos = cosine_pairs(emb_a, emb_b)
         take_a, take_b = pa.array(ia), pa.array(ib)
+        emb_a = binary_matrix(pc.take(self.emb, take_a).combine_chunks(), np.float16)
+        emb_b = binary_matrix(pc.take(self.emb, take_b).combine_chunks(), np.float16)
+        # f32-accumulating einsum over the f16 rows (see PairScorer)
+        cos = np.einsum("ij,ij->i", emb_a, emb_b, dtype=np.float32)
         path_a, path_b = pc.take(self.path, take_a), pc.take(self.path, take_b)
         repo_a, repo_b = pc.take(self.repo, take_a), pc.take(self.repo, take_b)
         path_jw = jaro_winkler(path_a, path_b)
@@ -291,29 +336,43 @@ def score_pairs_broadcast(
     pairs: "ray.data.Dataset",
     features: "ray.data.Dataset",
     scoring: ScoringConfig,
+    fan_out: bool = True,
 ) -> "ray.data.Dataset":
     from ..util import cluster_cpus
 
-    ref = _collect_features_ref(features)
+    shard_refs = _collect_feature_shards(features)
     # the broadcast path has NO co-running join aggregators (that is the
     # point), so the scorer pool can take 3/4 of the machine instead of
     # the conservative quarter the partitioned cascade leaves for Acero
     # aggregator actors (see the deadlock note on auto_pool_size); the
     # remaining quarter keeps the feeding repartition tasks schedulable
     # (measured at sf0.1/32cpu: pool 24 beats 16 on both of two samples)
-    pool = scoring.concurrency or max(2, cluster_cpus() * 3 // 4)
-    # an actor-pool task = one input block; the band groupby hands over
-    # ~num_buckets skewed blocks, so a straggler block sets the stage
-    # tail.  A split-only repartition to 4 tasks/actor evens the packing
-    # (measured: 894ms–3.2s per block before, ~1s stage tail saved).
+    # fan_out=False (streaming) sizes the pool to the whole machine: the
+    # actors only RESERVE 0.5 cpu each (half the node stays free for the
+    # upstream exchange they overlap with), and once the upstream drains
+    # the full pool saturates the node instead of capping the dominant
+    # 60s-CPU scorer phase at 3/4 of it.
+    pool = scoring.concurrency or (
+        max(2, cluster_cpus()) if not fan_out else max(2, cluster_cpus() * 3 // 4)
+    )
+    # an actor-pool task = one input block; when the pairs arrive as
+    # ~num_buckets SKEWED blocks a straggler block sets the stage tail,
+    # so the default fans out to 4 tasks/actor (measured: 894ms–3.2s
+    # per block before, ~1s stage tail saved).  ``fan_out=False`` skips
+    # that repartition when the caller streams HASH-BALANCED pair
+    # blocks straight from the dedup groupby — the repartition is an
+    # AllToAll BARRIER, and skipping it lets the scorer pool start on
+    # the first dedup output block while later ones are still sorting.
     # num_cpus=0.5: the pool's RESERVATION must leave room for the
     # assemble task + repartition tasks even at tiny clusters (2 actors
     # x 1.0 cpu on a 2-cpu cluster deadlocks: __init__ blocks on the
     # assemble task which then has no slot).  The actors still occupy
     # whole cores when running — reservation is scheduling accounting.
-    return pairs.repartition(pool * 4).map_batches(
+    if fan_out:
+        pairs = pairs.repartition(pool * 4)
+    return pairs.map_batches(
         BroadcastPairScorer,
-        fn_constructor_args=(ref, scoring),
+        fn_constructor_args=(shard_refs, scoring),
         batch_format="pyarrow",
         batch_size=scoring.batch_size * 4,
         concurrency=pool,
@@ -328,11 +387,12 @@ def score_pairs_auto(
     scoring: ScoringConfig,
     blocking: BlockingConfig,
     num_partitions: int,
+    fan_out: bool = True,
 ) -> "ray.data.Dataset":
     """Join-strategy selection: broadcast when the feature side is small
     (features is materialized by the stage checkpointer, so count() is a
     metadata read), partitioned cascade otherwise."""
     n = features.count()
     if n <= scoring.broadcast_limit_rows:
-        return score_pairs_broadcast(pairs, features, scoring)
+        return score_pairs_broadcast(pairs, features, scoring, fan_out=fan_out)
     return score_pairs(pairs, features, scoring, blocking, num_partitions)

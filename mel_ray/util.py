@@ -122,12 +122,15 @@ def shuffle_partitions(requested: int | None = None) -> int:
     groupby.  Ray's sort exchanges num_blocks x num_partitions objects;
     feeding it hundreds of tiny blocks (e.g. the 16x band expansion of
     small featurize batches) makes coordination, not data movement, the
-    cost.  ~1 block per CPU keeps the exchange quadratic term at
-    cluster scale, not at fragment scale (measured 2.7x on the pair
-    stage at sf0.1/32 cpus)."""
+    cost.  ~2 blocks per CPU keeps the exchange quadratic term at
+    cluster scale, not at fragment scale (round-1: hundreds of fragment
+    blocks cost 2.7x on the pair stage at sf0.1/32 cpus), while giving
+    the downstream ``map_groups`` enough tasks to absorb bucket skew —
+    at exactly 1 block/CPU the pair-emit stage is straggler-bound
+    (round-5 profile: 8 tasks at 8 CPUs, max/mean task 2.4s/1.2s)."""
     if requested is not None:
         return requested
-    return max(8, cluster_cpus())
+    return max(8, 2 * cluster_cpus())
 
 
 def auto_pool_size(requested: int | None) -> int:
