@@ -47,6 +47,10 @@ class ScoringConfig:
     # real transformer on GPU, utils/embeddings.py:55-123; this sandbox is
     # CPU-only so the default is 0.0 = no change, but the actor-pool stage
     # is configuration-complete for a GPU-backed scorer/embedder swap).
+    # To host an ACTUAL model in an actor pool, use the encoder plug
+    # point: state/encoder.EncoderSpec(factory=<dotted path>, pooling,
+    # dim) + stages/embed.embed_documents — the ModelBuilder/pooling-
+    # wrapper surface (model_builder.py:23-69, pooling_wrappers.py:5-50).
     num_gpus: float = 0.0
     # Path to a model checkpoint written by state/model_ckpt.py
     # (save_model_checkpoint).  When set, scorer actors load their

@@ -208,54 +208,67 @@ def score_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _assemble_features_shard(lo: int, hi: int, *tables):
-    """(worker task) one record_id RANGE SHARD of the broadcast feature
-    table, sorted by record_id.  Every shard task reads all feature
-    blocks (zero-copy plasma) but copies only its ``[lo, hi)`` slice, so
-    S shard tasks assemble the table with S-way parallelism instead of
-    one serial concat+sort (round-5 profile: the single-task assembly of
-    a 600 MB table was a fixed serial cost at every CPU count).
-    record_id is a uniform 63-bit fingerprint (ingest.py), so equal-
-    width ranges are balanced without a quantile pass."""
-    parts = []
-    for t in tables:
-        rid = t["record_id"].to_numpy()
-        mask = (rid >= lo) & (rid < hi)
-        if mask.all():
-            parts.append(t)
-        elif mask.any():
-            parts.append(t.filter(pa.array(mask)))
-    cols = ["record_id", "sig", "emb", "repo", "path"]
+_FEATURE_COLS = ["record_id", "sig", "emb", "repo", "path"]
+
+
+def _split_feature_block(bounds: list[int], t: pa.Table):
+    """(worker task) sort ONE feature block by record_id and cut it at
+    the shard range bounds — ``num_returns=len(bounds)-1`` presorted
+    slices.  One task per block, so splitting is block-parallel and
+    each feature byte is touched exactly once here (the earlier layout
+    had every shard task rescanning ALL blocks — S-fold read
+    amplification that showed up as ~12 s of hidden assembly CPU in the
+    round-5 8-cpu profile)."""
+    t = t.select(_FEATURE_COLS).combine_chunks()
+    rid = t["record_id"].to_numpy()
+    order = np.argsort(rid, kind="stable")
+    t = t.take(pa.array(order)).combine_chunks()
+    rid = rid[order]
+    cuts = np.searchsorted(rid, bounds[1:-1])
+    out, prev = [], 0
+    for c in list(cuts) + [len(rid)]:
+        out.append(t.slice(prev, c - prev))
+        prev = int(c)
+    return tuple(out)
+
+
+def _merge_shard(*slices: pa.Table) -> pa.Table:
+    """(worker task) same-range presorted slices -> one sorted shard
+    (concat + one argsort over ~1/S of the rows)."""
+    parts = [s for s in slices if len(s)]
     if not parts:
-        schema = tables[0].schema if tables else None
-        return pa.table(
-            {c: pa.array([], schema.field(c).type if schema else pa.int64()) for c in cols}
-        )
-    t = pa.concat_tables([p.select(cols) for p in parts]).combine_chunks()
+        return slices[0]  # empty, keeps the schema
+    t = pa.concat_tables(parts).combine_chunks()
     order = pa.array(np.argsort(t["record_id"].to_numpy(), kind="stable"))
     return t.take(order).combine_chunks()
 
 
 def _collect_feature_shards(features: "ray.data.Dataset") -> list:
     """Broadcast-table shard refs WITHOUT driver materialization: the
-    feature blocks flow from the object store into parallel range-shard
-    assembly TASKS whose return values are the broadcast objects — the
-    driver only ever holds the refs (the qid-remap table pattern at
-    honest scale)."""
+    feature blocks flow from the object store through block-parallel
+    split tasks into S range-merge TASKS whose return values are the
+    broadcast objects — the driver only ever holds refs (the qid-remap
+    table pattern at honest scale).  record_id is a uniform 63-bit
+    fingerprint (ingest.py), so equal-width ranges are balanced without
+    a quantile pass."""
     import ray as _ray
 
     from ..util import cluster_cpus
 
     refs = features.to_arrow_refs()
     n_shards = max(2, min(16, cluster_cpus() // 2))
-    # fractional CPU: the assemble tasks must be schedulable WHILE the
+    span = 1 << 63
+    bounds = [span * i // n_shards for i in range(n_shards + 1)]
+    # fractional CPU: split/merge tasks must be schedulable WHILE the
     # scorer actors (whose __init__ blocks on their output) hold their
     # reservations — at num_cpus=2 full-CPU tasks here deadlock the
     # whole stage (see the fractional-cpu rule on JOIN_AGG_ARGS)
-    assemble = _ray.remote(num_returns=1, num_cpus=0.25)(_assemble_features_shard)
-    span = 1 << 63
-    bounds = [span * i // n_shards for i in range(n_shards + 1)]
-    return [assemble.remote(bounds[i], bounds[i + 1], *refs) for i in range(n_shards)]
+    split = _ray.remote(num_returns=n_shards, num_cpus=0.25)(_split_feature_block)
+    merge = _ray.remote(num_cpus=0.25)(_merge_shard)
+    slice_refs = [split.remote(bounds, r) for r in refs]
+    if n_shards == 1:
+        slice_refs = [[r] for r in slice_refs]
+    return [merge.remote(*[sl[s] for sl in slice_refs]) for s in range(n_shards)]
 
 
 class BroadcastPairScorer:
@@ -263,12 +276,17 @@ class BroadcastPairScorer:
     batch, searchsorted id lookup + the same kernels as PairScorer.
 
     The table arrives as range-sharded sorted blocks; the actor keeps
-    the shard chunks zero-copy (one chunked array per column) and only
-    concatenates the 8-byte ids, so N actors never hold N copies of the
-    sig/emb payload."""
+    sig/emb as per-shard numpy VIEWS over the plasma-backed Arrow
+    buffers (zero-copy — N actors on a node share ONE copy of the
+    payload) and gathers per batch with segmented fancy indexing.
+    Round-5 profile note: gathering through ``pc.take`` on a chunked
+    array instead cost the scorer a 35% UDF-over-CPU stall; numpy
+    fancy indexing on the mapped views removed it."""
 
     def __init__(self, shard_refs, scoring: ScoringConfig):
         import ray as _ray
+
+        from .blocking import binary_matrix
 
         from ..state.model_ckpt import scorer_weights
 
@@ -277,37 +295,50 @@ class BroadcastPairScorer:
             # shards are consecutive sorted record_id ranges: their
             # concatenation is globally sorted
             self.ids = np.concatenate([t["record_id"].to_numpy() for t in shards])
+            self.bounds = np.cumsum([0] + [len(t) for t in shards])
+            self.sigs = [
+                binary_matrix(t["sig"].combine_chunks(), np.uint32) for t in shards
+            ]
+            self.embs = [
+                binary_matrix(t["emb"].combine_chunks(), np.float16) for t in shards
+            ]
             chunks = lambda c: pa.chunked_array(  # noqa: E731
                 [ch for t in shards for ch in t[c].chunks]
             )
-            self.sig = chunks("sig")
-            self.emb = chunks("emb")
             self.repo = chunks("repo")
             self.path = chunks("path")
         else:
             self.ids = np.empty(0, dtype=np.int64)
-            self.sig = self.emb = self.repo = self.path = pa.chunked_array(
-                [pa.array([], pa.binary())]
-            )
+            self.bounds = np.zeros(1, dtype=np.int64)
+            self.sigs = [np.empty((0, 1), dtype=np.uint32)]
+            self.embs = [np.empty((0, 1), dtype=np.float16)]
+            self.repo = self.path = pa.chunked_array([pa.array([], pa.string())])
         self.cfg = scoring
         self.w = scorer_weights(scoring)  # model state, loaded once per actor
 
+    def _gather(self, mats: list[np.ndarray], idx: np.ndarray) -> np.ndarray:
+        """Segmented gather across the shard views: one fancy-index per
+        touched shard (<= 16), output rows in input order."""
+        out = np.empty((len(idx), mats[0].shape[1]), dtype=mats[0].dtype)
+        shard = np.searchsorted(self.bounds[1:], idx, side="right")
+        for s in np.unique(shard):
+            m = shard == s
+            out[m] = mats[s][idx[m] - self.bounds[s]]
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.minhash import estimate_jaccard
-        from .blocking import binary_matrix
 
         a = batch["id_a"].to_numpy()
         b = batch["id_b"].to_numpy()
         ia = np.searchsorted(self.ids, a)
         ib = np.searchsorted(self.ids, b)
-        sig_a = binary_matrix(pc.take(self.sig, pa.array(ia)).combine_chunks(), np.uint32)
-        sig_b = binary_matrix(pc.take(self.sig, pa.array(ib)).combine_chunks(), np.uint32)
-        est_j = estimate_jaccard(sig_a, sig_b)  # empty sigs -> 0
+        est_j = estimate_jaccard(self._gather(self.sigs, ia), self._gather(self.sigs, ib))
         keep = est_j >= self.cfg.jaccard_accept
         ia, ib, est_j = ia[keep], ib[keep], est_j[keep]
         take_a, take_b = pa.array(ia), pa.array(ib)
-        emb_a = binary_matrix(pc.take(self.emb, take_a).combine_chunks(), np.float16)
-        emb_b = binary_matrix(pc.take(self.emb, take_b).combine_chunks(), np.float16)
+        emb_a = self._gather(self.embs, ia)
+        emb_b = self._gather(self.embs, ib)
         # f32-accumulating einsum over the f16 rows (see PairScorer)
         cos = np.einsum("ij,ij->i", emb_a, emb_b, dtype=np.float32)
         path_a, path_b = pc.take(self.path, take_a), pc.take(self.path, take_b)
@@ -370,12 +401,20 @@ def score_pairs_broadcast(
     # whole cores when running — reservation is scheduling accounting.
     if fan_out:
         pairs = pairs.repartition(pool * 4)
+    # streaming: AUTOSCALING pool (min 2).  A fixed pool reserves
+    # pool x 0.5 cpus from pipeline submission — half the cluster idle
+    # while the upstream band/emit/dedup phases run (round-5 profile:
+    # band-expand 3.1s cpu took 4.0s wall, emit 7.2s cpu took 7.5s
+    # wall at 8 cpus).  Autoscaling starts 2 actors (enough to drain
+    # the first dedup blocks) and grows as pair blocks queue, exactly
+    # when the upstream frees its cpus.
+    concurrency = (2, pool) if not fan_out and pool > 2 else pool
     return pairs.map_batches(
         BroadcastPairScorer,
         fn_constructor_args=(shard_refs, scoring),
         batch_format="pyarrow",
         batch_size=scoring.batch_size * 4,
-        concurrency=pool,
+        concurrency=concurrency,
         num_cpus=0.5,
         **_gpu_args(scoring),
     )
