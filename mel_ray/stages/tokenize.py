@@ -44,19 +44,50 @@ def _long_format(doc_ids: np.ndarray, rows: list[np.ndarray], width: int) -> pa.
 
 class TokenizeDocs:
     """documents batch -> fixed-width token rows (TokenizerWrapper
-    parity: pad to ``expected_size``, truncate beyond it)."""
+    parity: pad to ``expected_size``, truncate beyond it).
 
-    def __init__(self, vocab_path: str = DEFAULT_VOCAB, expected_size: int = 64):
+    ``output="long"`` emits (doc_id, pos, token_id) — the SQL-comparable
+    shape; ``output="packed"`` emits (doc_id, input_ids
+    fixed_size_list<int32>[W], attention_mask fixed_size_list<int8>[W])
+    — the zero-copy inference shape the encoder stage consumes (one
+    ``np.reshape`` recovers the (n, W) matrix, no per-row work)."""
+
+    def __init__(
+        self,
+        vocab_path: str = DEFAULT_VOCAB,
+        expected_size: int = 64,
+        output: str = "long",
+    ):
         from ..functions.bpe import BPETokenizer
 
         self.tok = BPETokenizer.from_file(vocab_path)  # once per actor
         self.expected_size = expected_size
+        if output not in ("long", "packed"):
+            raise ValueError(f"output must be long|packed, got {output!r}")
+        self.output = output
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.bpe import PAD
+
         texts = batch["text"].to_pylist()
         rows = [self.tok.tokenize(t or "", self.expected_size) for t in texts]
-        return _long_format(
-            batch["doc_id"].to_numpy(), rows, self.expected_size
+        if self.output == "long":
+            return _long_format(batch["doc_id"].to_numpy(), rows, self.expected_size)
+        w = self.expected_size
+        mat = (
+            np.vstack(rows) if rows else np.empty((0, w), dtype=np.int32)
+        )
+        mask = (mat != PAD).astype(np.int8)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "input_ids": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1), pa.int32()), w
+                ),
+                "attention_mask": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mask.reshape(-1), pa.int8()), w
+                ),
+            }
         )
 
 

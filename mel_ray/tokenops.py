@@ -37,3 +37,14 @@ def doc_mention_context_cut(sf_dir: str):
     deterministically, then cut so mention + context fill exactly 64
     slots, long format (doc_id, pos, token_id)."""
     return cut_mention_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def doc_embed_tokens(sf_dir: str):
+    """tokenize -> encoder actor pool -> (doc_id, emb[64]) — the T1/T2
+    model-inference dataflow (embed_links_for_generation recast) with
+    the shipped deterministic bag encoder; swap a real transformer by
+    EncoderSpec(factory=<dotted path>).  No SQL oracle (model scoring);
+    determinism + plug-point behavior verified in tests/test_tokenize.py."""
+    from .stages.embed import embed_documents
+
+    return embed_documents(_docs(sf_dir, ["doc_id", "text"]))
