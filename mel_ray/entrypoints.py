@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import annops, corpusops, relational, sourceops, streamops, textops
+from . import annops, corpusops, relational, sourceops, streamops, textops, tokenops
 from .functions.textstats import _MARKER_RES, _SCRIPT_RES, BPE_RE, TOKEN_RE
 
 _BPE_SQL = BPE_RE.replace("'", "''")
@@ -31,11 +31,13 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     # Insertion order is load-bearing: the driver verifies the FIRST 50
     # entries (in order) against oracle_sql / rows-only checks, so
-    # positions 1-50 hold the 48 oracle-bearing queries plus the two
-    # flagship checks (linkage_clusters, the north-rule pipeline, and
-    # linkage_f1_metrics, its F1 gate).  Redundant oracle variants and
-    # locally-verified approximate ops follow after position 50 (still
-    # checked by tools/check_correctness.py and tests/).
+    # positions 1-50 hold 47 oracle-bearing queries plus three rows-only
+    # checks (linkage_clusters, the north-rule pipeline; linkage_f1_metrics,
+    # its F1 gate; knn_ivf, the partitioned-ANN scale path — round-5
+    # rotation so every operator FAMILY has an externally-verified row).
+    # Redundant oracle variants and locally-verified approximate ops
+    # follow after position 50 (still checked by
+    # tools/check_correctness.py and tests/).
     from . import exactlink
 
     q: dict[str, Callable[[str], Any]] = {
@@ -52,16 +54,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_limit": relational.sort_limit,
         "sorted_neighborhood_pairs": relational.sorted_neighborhood_pairs,
         "per_key_cap": relational.per_key_cap,
-        "distinct_count": relational.distinct_count,
-        "mean_agg": relational.mean_agg,
         "windowed_agg": relational.windowed_agg,
         "alias_table": relational.alias_table,
-        "event_type_distribution": relational.event_type_distribution,
-        "first_n_distinct": relational.first_n_distinct,
         "stratified_sample": relational.stratified_sample,
         "negative_sampling": relational.negative_sampling,
         "grouped_quantile": relational.grouped_quantile,
         "range_join": relational.range_join,
+        "pivot_wide": relational.pivot_wide,
+        "rollup_agg": relational.rollup_agg,
         # --- bounded event-time operators ---
         "sessionize": streamops.sessionize,
         "running_sum": streamops.running_sum,
@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis / dedup over documents ---
         "doc_exact_dedup": textops.doc_exact_dedup,
         "doc_token_count": textops.doc_token_count,
+        "doc_tokens_bpe": tokenops.doc_tokens_bpe,
         "doc_lang_id": textops.doc_lang_id,
         "doc_heavy_hitter_words": textops.doc_heavy_hitter_words,
         "doc_quality_pct_filter": textops.doc_quality_pct_filter,
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mask_stopwords": textops.doc_mask_stopwords,
         # --- similarity search over embeddings (exact members) ---
         "knn_bruteforce": annops.knn_bruteforce,
+        "knn_ivf": annops.knn_ivf,
         "knn_rerank": annops.knn_rerank,
         "knn_k_unique": annops.knn_k_unique,
         "emb_near_dupes": annops.emb_near_dupes,
@@ -98,8 +100,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": corpusops.linkage_clusters,
         "linkage_f1_metrics": corpusops.linkage_f1_metrics,
         # ================= position > 50: outside the driver window ====
-        "pivot_wide": relational.pivot_wide,
-        "rollup_agg": relational.rollup_agg,
+        "mean_agg": relational.mean_agg,
+        "distinct_count": relational.distinct_count,
+        "event_type_distribution": relational.event_type_distribution,
+        "first_n_distinct": relational.first_n_distinct,
+        "doc_mention_context_cut": tokenops.doc_mention_context_cut,
+        "doc_embed_tokens": tokenops.doc_embed_tokens,
         "skew_join": relational.skew_join,
         "grouped_corr": relational.grouped_corr,
         "ranked_per_key": relational.ranked_per_key,
@@ -123,7 +129,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_size_hist": corpusops.cluster_size_hist,
         "fs_weights": corpusops.fs_weights,
         "knn_lsh": annops.knn_lsh,
-        "knn_ivf": annops.knn_ivf,
         "knn_ivf_capped": lambda sf: annops.knn_ivf(sf, max_per_label=20),
         "knn_quantized": annops.knn_quantized,
         "knn_ivf_quantized": annops.knn_ivf_quantized,
@@ -728,6 +733,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(regexp_extract_all(text, '{tok}')) AS n_tokens
             FROM documents
+        """,
+        # BPE merges are not SQL-expressible; the oracle is the
+        # checked-in golden token table (the reference pins tokenizer
+        # output the same way — tests/tokenization/pipeline/
+        # test_pipeline.py:71-89).  The join on (doc_id, md5(text))
+        # makes the golden content-addressed: each scale dir selects
+        # exactly its own rows.  Independent verification of the
+        # tokenizer itself is in tests/test_tokenize.py.
+        "doc_tokens_bpe": """
+            SELECT g.doc_id, g.pos, g.token_id
+            FROM read_parquet('/root/repo/mel_ray/data/golden_doc_tokens.parquet') g
+            JOIN documents d ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+        """,
+        "doc_mention_context_cut": """
+            SELECT g.doc_id, g.pos, g.token_id
+            FROM read_parquet('/root/repo/mel_ray/data/golden_mention_cut.parquet') g
+            JOIN documents d ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
         """,
         "weighted_sample": """
             SELECT o_orderkey, o_totalprice FROM (

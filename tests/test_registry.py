@@ -66,6 +66,70 @@ class TestRegistry:
         assert len(plain) == pairs.count()
 
 
+class TestJobConfig:
+    """Config-file job composition (mel_ray/jobs.py — the gin +
+    run_action surface, run_action_gin.py:104-119)."""
+
+    def test_load_applies_nested_overrides_and_rejects_unknown_keys(self, tmp_path):
+        from mel_ray.jobs import load_job
+
+        cfg = tmp_path / "job.yaml"
+        cfg.write_text(
+            "kind: linkage\ninput: /tmp/x\n"
+            "config:\n  blocking: {num_bands: 16}\n  checkpoint_dir: /tmp/ck\n"
+        )
+        spec = load_job(cfg)
+        assert spec["config"].blocking.num_bands == 16
+        assert spec["config"].blocking.num_hashes == 128  # untouched default
+        assert spec["config"].checkpoint_dir == "/tmp/ck"
+
+        bad = tmp_path / "bad.yaml"
+        bad.write_text("kind: linkage\ninput: /tmp/x\nconfig: {blocking: {nope: 1}}\n")
+        with pytest.raises(KeyError, match="nope"):
+            load_job(bad)
+        badstage = tmp_path / "badstage.yaml"
+        badstage.write_text("kind: stages\nread: /tmp/x\nstages: [wat]\n")
+        with pytest.raises(KeyError, match="available"):
+            load_job(badstage)
+
+    def test_flagship_config_file_runs(self, ray_session, tiny_corpus, tmp_path):
+        """The checked-in flagship config, run end to end through the
+        job runner, equals the explicitly-wired pipeline."""
+        import yaml
+
+        from mel_ray.config import LinkageConfig
+        from mel_ray.jobs import load_job, run_job
+        from mel_ray.pipelines.linkage import run_linkage
+
+        base = yaml.safe_load(open("configs/linkage.yaml"))
+        base["input"] = str(tiny_corpus / "files")
+        cfg = tmp_path / "job.yaml"
+        cfg.write_text(yaml.safe_dump(base))
+        out = run_job(load_job(cfg))
+        got = (
+            out["clusters"].to_pandas().sort_values("record_id").reset_index(drop=True)
+        )
+        want = (
+            run_linkage(str(tiny_corpus / "files"), LinkageConfig())
+            .clusters.to_pandas()
+            .sort_values("record_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+    def test_stages_job_runs(self, ray_session, tiny_corpus, tmp_path):
+        from mel_ray.jobs import load_job, run_job
+
+        cfg = tmp_path / "stages.yaml"
+        cfg.write_text(
+            f"kind: stages\nread: {tiny_corpus / 'files'}\nstages: [ingest, featurize]\n"
+        )
+        out = run_job(load_job(cfg))
+        df = out["dataset"].to_pandas()
+        assert {"record_id", "sig", "emb"} <= set(df.columns)
+        assert len(df) > 0
+
+
 def test_driver_window_holds_oracle_bearing_queries():
     """The driver verifies the FIRST 50 queries() entries in insertion
     order; every SQL-oracle-bearing query must sit inside that window,
@@ -77,8 +141,12 @@ def test_driver_window_holds_oracle_bearing_queries():
     oracles = set(ep.oracle_sql())
     assert len(names) >= 50
     window = names[:50]
-    # 48 oracle-bearing window slots + the two flagship rows-only checks
+    # 47 oracle-bearing window slots + three rows-only checks: the two
+    # flagship rows and knn_ivf (round-5 rotation: the partitioned-ANN
+    # family's externally-verified row; its hash-exact naive oracle
+    # lives in tests/test_ops.py)
     assert [n for n in window if n not in oracles] == [
+        "knn_ivf",
         "linkage_clusters",
         "linkage_f1_metrics",
     ]
@@ -86,7 +154,7 @@ def test_driver_window_holds_oracle_bearing_queries():
     # variants of in-window families (still verified by the local checker)
     assert oracles - set(window) == {
         "unique_batcher",       # training-side extra (S4/O6), local-checked
-        "grouped_stats",        # moments family: grouped_agg/mean_agg in window
+        "grouped_stats",        # moments family: grouped_agg in window
         "bloom_semi_join",      # same oracle as semi_join (J4, Bloom plan)
         "token_pack",           # prefix-scan packing; token family in window
         "weighted_sample",      # sampling family: stratified_sample in window
@@ -96,15 +164,18 @@ def test_driver_window_holds_oracle_bearing_queries():
         "except_distinct",      # set-op family: anti_join in window
         "global_shuffle",       # identity oracle (multiset preservation)
         "doc_quality",          # doc_quality_filter/_pct_filter in window
-        "doc_bpe_token_count",  # doc_token_count in window (M6/M7)
+        "doc_bpe_token_count",  # doc_tokens_bpe (real BPE) in window (M6/M7)
         "doc_md5_fingerprint",  # sha fingerprints verified via dedup ops
         "knn_capped",           # per-label-cap variant of in-window knn_bruteforce
         "corpus_boilerplate_lines",  # line-dedup family: corpus_dup_groups in window
         "doc_dup_ngram_fraction",  # quality family: doc_quality_filter in window
-        "pivot_wide",           # wide conditional-agg: grouped_agg family in window
-        "rollup_agg",           # multi-level agg: grouped_agg family in window
+        "mean_agg",             # r5 rotation out: grouped_agg covers plain aggs
+        "distinct_count",       # r5 rotation out: grouped_agg/grouped_topk family
+        "event_type_distribution",  # r5 rotation out: grouped count distribution
+        "first_n_distinct",     # r5 rotation out: per-key distinct family
+        "doc_mention_context_cut",  # tokenization family: doc_tokens_bpe in window
         "skew_join",            # salted-plan variant of in-window hash_join
-        "grouped_corr",         # moments family: grouped_agg/mean_agg in window
+        "grouped_corr",         # moments family: grouped_agg in window
         "ranked_per_key",       # window family: windowed_agg/sessionize in window
         "left_outer_join",      # join family: hash_join/broadcast_join in window
         "doc_pmi_bigrams",      # count-then-join family: doc_tfidf in window
@@ -112,5 +183,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "grouped_mode",         # argmax-over-counts: grouped_argmax in window
         "ntile_per_key",        # bucketed-window family: sessionize/running_sum in window
         "grouped_concat",       # grouped-agg family: grouped_agg/grouped_topk in window
-        "grouped_zscore",       # broadcast-stats family: broadcast_join/mean_agg in window
+        "grouped_zscore",       # broadcast-stats family: broadcast_join in window
     }
