@@ -40,6 +40,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif pd.api.types.is_bool_dtype(df[c]):
             df[c] = df[c].astype(bool)
+        elif df[c].dtype == object and len(df) and isinstance(
+            df[c].iloc[0], (np.ndarray, list)
+        ):
+            # list/embedding columns (fixed_size_list -> ndarray rows):
+            # round + stringify so sort/compare are well-defined
+            df[c] = df[c].map(
+                lambda v: np.array2string(
+                    np.round(np.asarray(v, dtype=np.float64), 6) + 0.0,
+                    separator=",", max_line_width=10**9, threshold=10**9,
+                )
+            )
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
