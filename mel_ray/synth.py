@@ -41,7 +41,7 @@ from .functions.minhash import band_keys, minhash_signature
 from .functions.shingles import line_shingles
 
 # rows per scale point (FIXTURES.md F6)
-SCALE_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+SCALE_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000, "sf0.3": 1_800_000}
 DEFAULT_ROOT = Path(os.environ.get("MEL_RAY_CORPUS_ROOT", "/tmp/mel_ray_corpus"))
 
 NUM_HASHES = 128
@@ -199,7 +199,14 @@ def generate_corpus(out_dir: str | Path, n_files: int, seed: int = 42) -> Path:
             "path": pa.array(paths, pa.string()),
             "commit": pa.array(commits, pa.string()),
             "lang": pa.array(langs, pa.string()),
-            "content": pa.array(contents, pa.string()),
+            # chunked: one flat string array overflows int32 offsets
+            # beyond ~2 GB of content (hit at the 1.8M-row scale point)
+            "content": pa.chunked_array(
+                [
+                    pa.array(contents[i : i + 100_000], pa.string())
+                    for i in range(0, max(len(contents), 1), 100_000)
+                ]
+            ),
         }
     )
     # record ids = the engine's own deterministic (repo, path, commit)
@@ -292,7 +299,9 @@ def _band_sharing_pairs(
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All (capped) record pairs sharing an LSH band key, via the engine's
     own blocking kernels — single-process reference implementation."""
-    arr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    # keep the ChunkedArray: combining >2 GB of content overflows the
+    # int32 string offsets; every consumer below works on 20k-row slices
+    arr = content
     n = len(arr)
     all_bh = []
     all_rid = []
