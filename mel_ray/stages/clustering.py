@@ -197,6 +197,25 @@ def connected_components(
     )
 
 
+# worker-process-local cache for the broadcast label arrays (single entry;
+# a new ref replaces the previous run's pins) — same pattern as
+# scoring._VIEWS_CACHE: every task of one assign stage reuses the arrays
+# its worker already fetched instead of re-entering plasma per batch.
+_LABELS_CACHE: dict = {}
+
+
+def _assign_labels_cached(ref):
+    import ray as _ray
+
+    key = ref.hex()
+    hit = _LABELS_CACHE.get(key)
+    if hit is None:
+        hit = _ray.get(ref)
+        _LABELS_CACHE.clear()
+        _LABELS_CACHE[key] = hit
+    return hit
+
+
 def assign_clusters(
     records: "ray.data.Dataset",
     component_labels: "ray.data.Dataset",
@@ -230,31 +249,28 @@ def assign_clusters(
             *component_labels.to_arrow_refs()
         )
 
-        class Assign:
-            def __init__(self, ref):
-                self.ids, self.cids = _ray.get(ref)
+        def _assign(batch: pa.Table) -> pa.Table:
+            # STATELESS TASK, not an actor pool: ray.get on the label-array
+            # ref is zero-copy from plasma (read-only numpy views), so there
+            # is no per-worker state worth amortizing — tasks run on the
+            # prestarted warm workers with no actor spawn/init on the
+            # critical path (see scoring.score_pairs_broadcast, round-5
+            # profile: actor startup dominated these short broadcast stages)
+            ids, cids = _assign_labels_cached(ref)
+            rid = batch["record_id"].to_numpy()
+            pos = np.searchsorted(ids, rid)
+            pos = np.minimum(pos, max(len(ids) - 1, 0))
+            if len(ids):
+                hit = ids[pos] == rid
+                cid = np.where(hit, cids[pos], rid)
+            else:
+                cid = rid
+            return batch.append_column("cluster_id", pa.array(cid.astype(np.int64)))
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                rid = batch["record_id"].to_numpy()
-                pos = np.searchsorted(self.ids, rid)
-                pos = np.minimum(pos, max(len(self.ids) - 1, 0))
-                if len(self.ids):
-                    hit = self.ids[pos] == rid
-                    cid = np.where(hit, self.cids[pos], rid)
-                else:
-                    cid = rid
-                return batch.append_column("cluster_id", pa.array(cid.astype(np.int64)))
-
-        from ..util import cluster_cpus
-
-        # broadcast map with no co-running aggregators: half the machine
-        # at 0.5 cpu/actor (the searchsorted probe is memory-light)
         return records.map_batches(
-            Assign,
-            fn_constructor_args=(ref,),
+            _assign,
             batch_format="pyarrow",
-            concurrency=max(2, cluster_cpus() // 2),
-            num_cpus=0.5,
+            zero_copy_batch=True,
         )
 
     from .scoring import JOIN_AGG_ARGS

@@ -271,26 +271,24 @@ def _collect_feature_shards(features: "ray.data.Dataset") -> list:
     return [merge.remote(*[sl[s] for sl in slice_refs]) for s in range(n_shards)]
 
 
-class BroadcastPairScorer:
-    """Actor-pool scorer holding the broadcast feature table: per pair
+class _BroadcastShardViews:
+    """Zero-copy scorer state over plasma-resident shard tables: per pair
     batch, searchsorted id lookup + the same kernels as PairScorer.
 
-    The table arrives as range-sharded sorted blocks; the actor keeps
-    sig/emb as per-shard numpy VIEWS over the plasma-backed Arrow
-    buffers (zero-copy — N actors on a node share ONE copy of the
-    payload) and gathers per batch with segmented fancy indexing.
-    Round-5 profile note: gathering through ``pc.take`` on a chunked
-    array instead cost the scorer a 35% UDF-over-CPU stall; numpy
-    fancy indexing on the mapped views removed it."""
+    The table arrives as range-sharded sorted single-chunk blocks (the
+    merge tasks ``combine_chunks``); sig/emb are kept as per-shard numpy
+    VIEWS over the plasma-backed Arrow buffers (zero-copy — every worker
+    on a node shares ONE copy of the payload) and gathered per batch
+    with segmented fancy indexing.  Round-5 profile note: gathering
+    through ``pc.take`` on a chunked array instead cost the scorer a
+    35% UDF-over-CPU stall; numpy fancy indexing on the mapped views
+    removed it."""
 
-    def __init__(self, shard_refs, scoring: ScoringConfig):
-        import ray as _ray
-
+    def __init__(self, shards: list, scoring: ScoringConfig):
         from .blocking import binary_matrix
 
         from ..state.model_ckpt import scorer_weights
 
-        shards = [t for t in _ray.get(list(shard_refs)) if len(t)]
         if shards:
             # shards are consecutive sorted record_id ranges: their
             # concatenation is globally sorted
@@ -326,7 +324,7 @@ class BroadcastPairScorer:
             out[m] = mats[s][idx[m] - self.bounds[s]]
         return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def score(self, batch: pa.Table) -> pa.Table:
         from ..functions.minhash import estimate_jaccard
 
         a = batch["id_a"].to_numpy()
@@ -363,6 +361,45 @@ class BroadcastPairScorer:
         )
 
 
+# worker-process-local scorer-state cache (single entry: replacing on a
+# new broadcast epoch releases the previous run's plasma pins).  Keyed by
+# the shard refs + scoring config, so every TASK of one stage reuses the
+# views its worker already built — state rebuild from plasma is zero-copy
+# (~10 ms), which is what makes a stateless-TASK scorer viable at all.
+_VIEWS_CACHE: dict[tuple, _BroadcastShardViews] = {}
+
+
+def _broadcast_views(shard_refs, scoring: ScoringConfig) -> _BroadcastShardViews:
+    import ray as _ray
+
+    key = (tuple(r.hex() for r in shard_refs), repr(scoring))
+    views = _VIEWS_CACHE.get(key)
+    if views is None:
+        shards = [t for t in _ray.get(list(shard_refs)) if len(t)]
+        views = _BroadcastShardViews(shards, scoring)
+        _VIEWS_CACHE.clear()
+        _VIEWS_CACHE[key] = views
+    return views
+
+
+class BroadcastPairScorer:
+    """Actor-form wrapper over :class:`_BroadcastShardViews` (kept for
+    callers that want an explicit actor pool, e.g. GPU scoring where
+    the worker set must be pinned); the flagship broadcast path now
+    scores with stateless tasks + the per-worker views cache instead —
+    see :func:`score_pairs_broadcast`."""
+
+    def __init__(self, shard_refs, scoring: ScoringConfig):
+        import ray as _ray
+
+        self._views = _BroadcastShardViews(
+            [t for t in _ray.get(list(shard_refs)) if len(t)], scoring
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._views.score(batch)
+
+
 def score_pairs_broadcast(
     pairs: "ray.data.Dataset",
     features: "ray.data.Dataset",
@@ -372,50 +409,35 @@ def score_pairs_broadcast(
     from ..util import cluster_cpus
 
     shard_refs = _collect_feature_shards(features)
-    # the broadcast path has NO co-running join aggregators (that is the
-    # point), so the scorer pool can take 3/4 of the machine instead of
-    # the conservative quarter the partitioned cascade leaves for Acero
-    # aggregator actors (see the deadlock note on auto_pool_size); the
-    # remaining quarter keeps the feeding repartition tasks schedulable
-    # (measured at sf0.1/32cpu: pool 24 beats 16 on both of two samples)
-    # fan_out=False (streaming) sizes the pool to the whole machine: the
-    # actors only RESERVE 0.5 cpu each (half the node stays free for the
-    # upstream exchange they overlap with), and once the upstream drains
-    # the full pool saturates the node instead of capping the dominant
-    # 60s-CPU scorer phase at 3/4 of it.
-    pool = scoring.concurrency or (
-        max(2, cluster_cpus()) if not fan_out else max(2, cluster_cpus() * 3 // 4)
-    )
-    # an actor-pool task = one input block; when the pairs arrive as
-    # ~num_buckets SKEWED blocks a straggler block sets the stage tail,
-    # so the default fans out to 4 tasks/actor (measured: 894ms–3.2s
-    # per block before, ~1s stage tail saved).  ``fan_out=False`` skips
-    # that repartition when the caller streams HASH-BALANCED pair
-    # blocks straight from the dedup groupby — the repartition is an
-    # AllToAll BARRIER, and skipping it lets the scorer pool start on
-    # the first dedup output block while later ones are still sorting.
-    # num_cpus=0.5: the pool's RESERVATION must leave room for the
-    # assemble task + repartition tasks even at tiny clusters (2 actors
-    # x 1.0 cpu on a 2-cpu cluster deadlocks: __init__ blocks on the
-    # assemble task which then has no slot).  The actors still occupy
-    # whole cores when running — reservation is scheduling accounting.
+    # STATELESS TASKS, not an actor pool.  Round-5 profile (sf0.1): the
+    # scorer's real compute is ~17 CPU-seconds, but the actor-pool form
+    # spent 10-16 s of WALL at every cpu count — fresh actor processes
+    # (full interpreter + import chain per actor, per stage) plus
+    # per-actor state builds dominated, and the pool's reservations
+    # needed deadlock-avoidance tuning (0.5-cpu actors, autoscaling
+    # floor).  Tasks run on the prestarted, already-warm Ray workers,
+    # schedule at whatever parallelism the cluster has free, and rebuild
+    # the scorer state at most ONCE per worker process via the
+    # _VIEWS_CACHE (zero-copy views over the plasma shards, ~10 ms).
+    # measured stage wall at sf0.1: 8 cpu 10-16 s (pool) -> ~3 s (tasks).
+    # ``fan_out`` (checkpointed path): the pairs arrive as ~num_buckets
+    # SKEWED blocks, so a straggler block sets the stage tail — fan out
+    # to ~3x cluster_cpus tasks (measured: 894ms-3.2s per block before,
+    # ~1 s stage tail saved).  The streaming path skips that repartition
+    # (an AllToAll BARRIER): it already streams HASH-BALANCED pair
+    # blocks straight from the dedup groupby into the first score tasks
+    # while later buckets are still sorting.
     if fan_out:
-        pairs = pairs.repartition(pool * 4)
-    # streaming: AUTOSCALING pool (min 2).  A fixed pool reserves
-    # pool x 0.5 cpus from pipeline submission — half the cluster idle
-    # while the upstream band/emit/dedup phases run (round-5 profile:
-    # band-expand 3.1s cpu took 4.0s wall, emit 7.2s cpu took 7.5s
-    # wall at 8 cpus).  Autoscaling starts 2 actors (enough to drain
-    # the first dedup blocks) and grows as pair blocks queue, exactly
-    # when the upstream frees its cpus.
-    concurrency = (2, pool) if not fan_out and pool > 2 else pool
+        pairs = pairs.repartition(max(2, cluster_cpus()) * 3)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        return _broadcast_views(shard_refs, scoring).score(batch)
+
     return pairs.map_batches(
-        BroadcastPairScorer,
-        fn_constructor_args=(shard_refs, scoring),
+        _score,
         batch_format="pyarrow",
         batch_size=scoring.batch_size * 4,
-        concurrency=concurrency,
-        num_cpus=0.5,
+        zero_copy_batch=True,
         **_gpu_args(scoring),
     )
 
