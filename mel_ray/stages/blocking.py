@@ -91,9 +91,17 @@ def _binary_rows(mat: np.ndarray) -> pa.Array:
 
 
 def binary_matrix(col: pa.Array | pa.ChunkedArray, dtype) -> np.ndarray:
-    """Inverse of :func:`_binary_rows`: binary column -> (N, W) ndarray view."""
+    """Inverse of :func:`_binary_rows`: binary column -> (N, W) ndarray view.
+
+    Single-chunk ChunkedArrays take ``chunk(0)`` — pyarrow 16's
+    ``combine_chunks()`` COPIES even when there is only one chunk
+    (measured 0.2 s / 256 MB solo, and the copy's first-touch page
+    faults collapse ~20x under concurrent workers building broadcast
+    views on this cgroup-limited host: 0.65 s -> 8-19 s per worker).
+    The fast path keeps the returned ndarray a true zero-copy view
+    over the (plasma-shared) Arrow buffer."""
     if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
     buffers = col.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int32)[col.offset : col.offset + len(col) + 1]
     data = np.frombuffer(buffers[2], dtype=dtype)

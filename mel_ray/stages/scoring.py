@@ -294,23 +294,30 @@ class _BroadcastShardViews:
             # concatenation is globally sorted
             self.ids = np.concatenate([t["record_id"].to_numpy() for t in shards])
             self.bounds = np.cumsum([0] + [len(t) for t in shards])
-            self.sigs = [
-                binary_matrix(t["sig"].combine_chunks(), np.uint32) for t in shards
-            ]
-            self.embs = [
-                binary_matrix(t["emb"].combine_chunks(), np.float16) for t in shards
-            ]
-            chunks = lambda c: pa.chunked_array(  # noqa: E731
+            # binary_matrix handles chunk normalization itself; its
+            # single-chunk fast path keeps these true VIEWS over the
+            # plasma buffers (an explicit combine_chunks() here would
+            # copy 0.7 GB per worker — see binary_matrix's docstring)
+            self.sigs = [binary_matrix(t["sig"], np.uint32) for t in shards]
+            self.embs = [binary_matrix(t["emb"], np.float16) for t in shards]
+            # FLAT single-chunk string columns: pc.take on a ChunkedArray
+            # pays a fixed ~30 ms per CALL in pyarrow 16 (regardless of
+            # index count — measured 36 ms vs 0.25 ms flat for a 3.6k-row
+            # take), and the scorer takes 4 small slices per pair batch,
+            # which made chunked takes ~47% of the whole kernel at sf0.3.
+            # The concat is one memcpy (~40 ms / 1.8M strings), paid once
+            # per worker via _VIEWS_CACHE.
+            flat = lambda c: pa.concat_arrays(  # noqa: E731
                 [ch for t in shards for ch in t[c].chunks]
             )
-            self.repo = chunks("repo")
-            self.path = chunks("path")
+            self.repo = flat("repo")
+            self.path = flat("path")
         else:
             self.ids = np.empty(0, dtype=np.int64)
             self.bounds = np.zeros(1, dtype=np.int64)
             self.sigs = [np.empty((0, 1), dtype=np.uint32)]
             self.embs = [np.empty((0, 1), dtype=np.float16)]
-            self.repo = self.path = pa.chunked_array([pa.array([], pa.string())])
+            self.repo = self.path = pa.array([], pa.string())
         self.cfg = scoring
         self.w = scorer_weights(scoring)  # model state, loaded once per actor
 
