@@ -423,3 +423,33 @@ def test_ntile_ids_matches_duckdb_all_small_sizes():
                 ).fetchall()
             ]
             assert mine == ref, (n, s)
+
+
+def test_binary_matrix_single_chunk_is_zero_copy():
+    """The broadcast scorer's views must be true views: pyarrow 16's
+    combine_chunks() copies even single-chunk arrays, which collapsed
+    under concurrent first-touch on cgroup-limited hosts (round-5 find:
+    37 s/worker views builds).  Pin the chunk(0) fast path."""
+    import pyarrow as pa
+
+    from mel_ray.stages.blocking import binary_matrix
+
+    rows = np.arange(64, dtype=np.uint32).reshape(8, 8)
+    flat = rows.tobytes()
+    width = rows.shape[1] * 4
+    offsets = pa.array(np.arange(0, (8 + 1) * width, width, dtype=np.int32))
+    arr = pa.Array.from_buffers(
+        pa.binary(), 8, [None, offsets.buffers()[1], pa.py_buffer(flat)]
+    )
+    chunked = pa.chunked_array([arr])
+
+    out = binary_matrix(chunked, np.uint32)
+    assert (out == rows).all()
+    # zero-copy: the ndarray's memory IS the arrow buffer's
+    src_addr = arr.buffers()[2].address
+    assert out.__array_interface__["data"][0] == src_addr
+
+    # multi-chunk inputs still combine (copy) and stay correct
+    two = pa.chunked_array([arr.slice(0, 4), arr.slice(4, 4)])
+    out2 = binary_matrix(two, np.uint32)
+    assert (out2 == rows).all()
