@@ -41,7 +41,18 @@ from .functions.minhash import band_keys, minhash_signature
 from .functions.shingles import line_shingles
 
 # rows per scale point (FIXTURES.md F6)
-SCALE_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000, "sf0.3": 1_800_000}
+SCALE_ROWS = {
+    "sf0.001": 6_000,
+    "sf0.01": 60_000,
+    "sf0.1": 600_000,
+    "sf0.3": 1_800_000,
+    # scaling-evidence points: fixed per-stage costs (exchange
+    # coordination, pool spin-up) amortize with input size, so the
+    # two-parallelism-level efficiency is measured on a rising scale
+    # ladder (see BENCH/BASELINE.md)
+    "sf0.6": 3_600_000,
+    "sf1.0": 6_000_000,
+}
 DEFAULT_ROOT = Path(os.environ.get("MEL_RAY_CORPUS_ROOT", "/tmp/mel_ray_corpus"))
 
 NUM_HASHES = 128
