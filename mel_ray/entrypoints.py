@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from . import annops, corpusops, relational, sourceops, streamops, textops, tokenops
+from . import annops, corpusops, fuzzyjoin, relational, sourceops, streamops, textops, tokenops
 from .functions.textstats import _MARKER_RES, _SCRIPT_RES, BPE_RE, TOKEN_RE
 
 _BPE_SQL = BPE_RE.replace("'", "''")
@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard_pairs": textops.doc_ngram_jaccard_pairs,
         "doc_minhash_lsh_pairs": textops.doc_minhash_lsh_pairs,
         "doc_dedup_keep": textops.doc_dedup_keep,
+        "fuzzy_lev_join": fuzzyjoin.fuzzy_lev_join,
         "approx_distinct_count": relational.approx_distinct_count,
         "approx_quantile": relational.approx_quantile,
         "media_features": _media_features,
@@ -972,6 +973,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "linkage_exact_pairs": _exact_link_sql(files, clusters=False),
         "linkage_exact_clusters": _exact_link_sql(files, clusters=True),
+        # string-similarity join: the Ray side uses PassJoin pigeonhole
+        # blocking + Myers verify; the oracle is the quadratic definition
+        # (length-windowed so DuckDB finishes at sf0.01)
+        "fuzzy_lev_join": f"""
+            WITH p AS (SELECT DISTINCT path FROM {files}
+                       WHERE length(path) >= 38)
+            SELECT a.path AS path_a, b.path AS path_b,
+                   levenshtein(a.path, b.path) AS dist
+            FROM p a JOIN p b
+              ON a.path < b.path
+             AND length(b.path) BETWEEN length(a.path) - 2
+                                    AND length(a.path) + 2
+            WHERE levenshtein(a.path, b.path) <= 2
+        """,
         # linkage_clusters / linkage_scored_pairs / linkage_f1_metrics /
         # cluster_size_hist / cluster_reps / doc_winnow_fingerprint /
         # doc_simhash / doc_minhash_lsh_pairs / knn_lsh / knn_ivf_capped /
