@@ -184,4 +184,5 @@ def test_driver_window_holds_oracle_bearing_queries():
         "ntile_per_key",        # bucketed-window family: sessionize/running_sum in window
         "grouped_concat",       # grouped-agg family: grouped_agg/grouped_topk in window
         "grouped_zscore",       # broadcast-stats family: broadcast_join in window
+        "fuzzy_lev_join",       # edit-distance join: PassJoin plan; strsim family in window
     }
