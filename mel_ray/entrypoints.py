@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_lsh_pairs": textops.doc_minhash_lsh_pairs,
         "doc_dedup_keep": textops.doc_dedup_keep,
         "fuzzy_lev_join": fuzzyjoin.fuzzy_lev_join,
+        "fuzzy_jw_join": fuzzyjoin.fuzzy_jw_join,
+        "full_outer_join": relational.full_outer_join,
+        "grouped_entropy": relational.grouped_entropy,
         "approx_distinct_count": relational.approx_distinct_count,
         "approx_quantile": relational.approx_quantile,
         "media_features": _media_features,
@@ -986,6 +989,33 @@ def oracle_sql() -> dict[str, str]:
              AND length(b.path) BETWEEN length(a.path) - 2
                                     AND length(a.path) + 2
             WHERE levenshtein(a.path, b.path) <= 2
+        """,
+        # Jaro-Winkler similarity join: the kernel runs in DuckDB-parity
+        # mode (boost gated at jaro > 0.7, strcmp95 floored transposition
+        # count, float64), so the jw column is bit-exact vs the oracle
+        "fuzzy_jw_join": """
+            WITH p AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+            FROM p a JOIN p b
+              ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+             AND a.p_name < b.p_name
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        """,
+        "full_outer_join": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_acctbal AS acctbal,
+                   coalesce(o.n_urgent, 0) AS n_urgent
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal < 0) c
+            FULL OUTER JOIN
+                 (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+        """,
+        "grouped_entropy": """
+            SELECT user_id, entropy(event_type) AS ent
+            FROM events GROUP BY user_id
         """,
         # linkage_clusters / linkage_scored_pairs / linkage_f1_metrics /
         # cluster_size_hist / cluster_reps / doc_winnow_fingerprint /

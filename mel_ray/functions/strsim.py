@@ -272,14 +272,29 @@ def jaro_winkler(
     b: pa.Array | pa.ChunkedArray,
     max_len: int = 64,
     prefix_weight: float = 0.1,
+    boost_threshold: float = 0.0,
+    floor_transpositions: bool = False,
+    out_dtype=np.float32,
 ) -> np.ndarray:
-    """Jaro-Winkler similarity per pair, float32 in [0, 1]."""
+    """Jaro-Winkler similarity per pair, ``out_dtype`` in [0, 1].
+
+    ``boost_threshold`` gates the Winkler prefix boost: the boost is
+    applied only where the raw Jaro score exceeds it.  The classic
+    Winkler (and DuckDB / rapidfuzz) convention is 0.7; this engine's
+    linkage scorer historically boosts unconditionally, so the default
+    stays 0.0 for backward compatibility.  ``floor_transpositions``
+    selects the original strcmp95 / rapidfuzz / DuckDB convention of
+    integer-dividing the mismatched-position count by 2 (``t = k // 2``)
+    instead of the textbook half-count (``t = k / 2``); set both knobs
+    (0.7, True, np.float64) for bit-exact DuckDB
+    ``jaro_winkler_similarity`` parity."""
     eq = _equal_mask(a, b)
-    out = np.ones(len(eq), dtype=np.float32)
+    out = np.ones(len(eq), dtype=out_dtype)
     todo = np.flatnonzero(~eq)
     if len(todo):
         out[todo] = _jaro_winkler_impl(
-            _subset(a, todo), _subset(b, todo), max_len, prefix_weight
+            _subset(a, todo), _subset(b, todo), max_len, prefix_weight,
+            boost_threshold, floor_transpositions, out_dtype,
         )
     return out
 
@@ -289,6 +304,9 @@ def _jaro_winkler_impl(
     b: pa.Array | pa.ChunkedArray,
     max_len: int = 64,
     prefix_weight: float = 0.1,
+    boost_threshold: float = 0.0,
+    floor_transpositions: bool = False,
+    out_dtype=np.float32,
 ) -> np.ndarray:
     """Jaro-Winkler similarity per pair: length-bucketed so each bucket's
     match-window sweep runs at its own matrix width."""
@@ -296,8 +314,8 @@ def _jaro_winkler_impl(
     B, lb = _pad_matrix(b, max_len)
     p = len(la)
     if p == 0:
-        return np.empty(0, dtype=np.float32)
-    out = np.ones(p, dtype=np.float32)  # w == 0 (both empty) -> 1.0
+        return np.empty(0, dtype=out_dtype)
+    out = np.ones(p, dtype=out_dtype)  # w == 0 (both empty) -> 1.0
     w = np.maximum(la, lb)
     lo = 0
     for bound in (*_LEN_BUCKETS, max_len):
@@ -311,10 +329,16 @@ def _jaro_winkler_impl(
         wb = min(B.shape[1], bound)
         if bound > _MYERS_MIN_WIDTH and bound <= 64:
             out[sel] = _chunked(
-                _jw_core_bits, A[sel, :wa], B[sel, :wb], la[sel], lb[sel], prefix_weight
+                _jw_core_bits, A[sel, :wa], B[sel, :wb], la[sel], lb[sel],
+                prefix_weight, boost_threshold, floor_transpositions,
+                out_dtype,
             )
         else:
-            out[sel] = _jw_core(A[sel, :wa], B[sel, :wb], la[sel], lb[sel], prefix_weight)
+            out[sel] = _jw_core(
+                A[sel, :wa], B[sel, :wb], la[sel], lb[sel],
+                prefix_weight, boost_threshold, floor_transpositions,
+                out_dtype,
+            )
     return out
 
 
@@ -324,6 +348,9 @@ def _jw_core(
     la: np.ndarray,
     lb: np.ndarray,
     prefix_weight: float,
+    boost_threshold: float = 0.0,
+    floor_transpositions: bool = False,
+    out_dtype=np.float32,
 ) -> np.ndarray:
     """Jaro-Winkler over pre-padded char matrices, batch-vectorized over
     the match window per character position."""
@@ -355,7 +382,7 @@ def _jw_core(
         matched_b[rows, first[rows]] = True
         matched_a[rows, i] = True
 
-    return _jw_finish(A, B, la, lb, matched_a, matched_b, prefix_weight)
+    return _jw_finish(A, B, la, lb, matched_a, matched_b, prefix_weight, boost_threshold, floor_transpositions, out_dtype)
 
 
 def _jw_core_bits(
@@ -364,6 +391,9 @@ def _jw_core_bits(
     la: np.ndarray,
     lb: np.ndarray,
     prefix_weight: float,
+    boost_threshold: float = 0.0,
+    floor_transpositions: bool = False,
+    out_dtype=np.float32,
 ) -> np.ndarray:
     """Bit-parallel Jaro match loop: each pair's matched-in-``b`` set and
     match window live in ONE uint64 (requires ``lb <= 64``), so one
@@ -408,7 +438,7 @@ def _jw_core_bits(
     mb = (
         (matched_b[:, None] >> np.arange(wb, dtype=np.uint64)[None, :]) & one
     ).astype(bool)
-    return _jw_finish(A, B, la, lb, matched_a, mb, prefix_weight)
+    return _jw_finish(A, B, la, lb, matched_a, mb, prefix_weight, boost_threshold, floor_transpositions, out_dtype)
 
 
 def _jw_finish(
@@ -419,6 +449,9 @@ def _jw_finish(
     matched_a: np.ndarray,
     matched_b: np.ndarray,
     prefix_weight: float,
+    boost_threshold: float = 0.0,
+    floor_transpositions: bool = False,
+    out_dtype=np.float32,
 ) -> np.ndarray:
     """Shared Jaro-Winkler tail: transpositions over the matched chars,
     the Jaro combination, and the Winkler prefix boost."""
@@ -433,7 +466,8 @@ def _jw_finish(
     k = min(ga.shape[1], gb.shape[1])
     if k:
         valid = np.arange(k)[None, :] < mcount[:, None]
-        t = ((ga[:, :k] != gb[:, :k]) & valid).sum(axis=1) / 2.0
+        k_mism = ((ga[:, :k] != gb[:, :k]) & valid).sum(axis=1)
+        t = (k_mism // 2).astype(np.float64) if floor_transpositions else k_mism / 2.0
 
     la_f = np.maximum(la, 1).astype(np.float64)
     lb_f = np.maximum(lb, 1).astype(np.float64)
@@ -455,8 +489,9 @@ def _jw_finish(
         eq = (A[:, i] == B[:, i]) & (i < la) & (i < lb) & still
         pref += eq
         still &= eq
-    jw = jaro + pref * prefix_weight * (1.0 - jaro)
-    return jw.astype(np.float32)
+    boost = np.where(jaro > boost_threshold, pref * prefix_weight * (1.0 - jaro), 0.0)
+    jw = jaro + boost
+    return jw.astype(out_dtype)
 
 
 def _gather_matched(M: np.ndarray, mask: np.ndarray) -> np.ndarray:

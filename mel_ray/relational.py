@@ -1883,3 +1883,110 @@ def grouped_zscore(sf_dir: str):
     return ds.map_batches(z, batch_format="pyarrow").map_batches(
         _round_cols(["z"], nd=4), batch_format="pyarrow"
     )
+
+
+# --- full outer join (both-side-preserving keyed merge) ---------------------
+def full_outer_join(sf_dir: str):
+    """Overdrawn customers FULL OUTER urgent-order counts on custkey —
+    both inputs are strict subsets of the key domain, so the join emits
+    null-filled rows in BOTH directions: the reconciliation shape the
+    reference's setdiff diagnostics (D5, recall_calculator's missed/extra
+    sets) generalize to when you also need the payload of the unmatched
+    side.
+
+    Scale shape: the build side is pre-aggregated to one row per key
+    (combiner-first), then a partitioned ``full_outer`` hash join; the
+    coalesce/fill is a vectorized map_batches."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    overdrawn = cust.map_batches(
+        lambda t: t.filter(pc.less(t["c_acctbal"], 0.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    urgent = orders.map_batches(
+        lambda t: t.select(["o_custkey"]).filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
+
+    joined = overdrawn.join(
+        urgent,
+        join_type="full_outer",
+        num_partitions=auto_join_partitions(None),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        # Ray's full_outer join unifies on/right_on into the left key
+        # column, so unmatched right rows already carry c_custkey
+        key = pc.cast(t["c_custkey"], pa.int64())
+        n = pc.cast(pc.coalesce(t["n_urgent"], pa.scalar(0, pa.int64())), pa.int64())
+        return pa.table(
+            {
+                "custkey": key,
+                "acctbal": pc.cast(t["c_acctbal"], pa.float64()),
+                "n_urgent": n,
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# --- grouped entropy (Shannon entropy of a categorical per key) -------------
+def grouped_entropy(sf_dir: str):
+    """Shannon entropy (base 2) of the event-type distribution per user
+    — the distribution-shape statistic next to A5's raw qid distribution
+    (data_processors/tokens.py:31-47): one number per key for "how mixed
+    is this key's behavior", matching DuckDB's ``entropy()`` aggregate.
+
+    Scale shape: per-batch (key, value) count combiner -> ONE
+    domain-sized groupby; entropy folds via the sufficient statistics
+    ``H = log2(N) - (sum c*log2 c) / N``, so the second groupby carries
+    two floats per (key, value) and the raw events shuffle zero times."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["user_id", "event_type", "cnt"])
+        return g.set_column(2, "cnt", pc.cast(g["cnt"], pa.int64()))
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def suff(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "cnt": t["cnt"],
+                "clog": pa.array(c * np.log2(c)),
+            }
+        )
+
+    per_key = (
+        counts.map_batches(suff, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cnt", alias_name="n"), Sum("clog", alias_name="clog"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        clog = t["clog"].to_numpy(zero_copy_only=False)
+        ent = np.log2(n) - clog / n
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ent": pa.array(np.maximum(ent, 0.0)),  # -0.0 from fp cancellation
+            }
+        )
+
+    return per_key.map_batches(finish, batch_format="pyarrow")

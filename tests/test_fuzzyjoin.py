@@ -121,3 +121,87 @@ def test_self_join_dedupes_input_multiplicity(ray_session):
         for r in fuzzy_lev_self_join(ds, "path", d=2).take_all()
     }
     assert got == {("abcdef", "abcdeg", 1)}
+
+
+# --- Jaro-Winkler DuckDB parity ---------------------------------------------
+def _jw_rand_strings(rng: np.random.Generator, n: int) -> list[str]:
+    words = ["red", "blue", "old", "hot", "cold", "small", "large", "dim"]
+    nouns = ["widget", "wrench", "washer", "anvil", "bolt", "gear", "ring", "plate"]
+    out = []
+    for _ in range(n):
+        w = str(rng.choice(words)) + " " + str(rng.choice(nouns))
+        out.append(w)
+        if rng.random() < 0.5:  # planted near-dup: one char typo
+            t = list(w)
+            t[int(rng.integers(0, len(t)))] = "xyz"[int(rng.integers(3))]
+            out.append("".join(t))
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_jaro_winkler_duckdb_parity_bitexact(seed):
+    """DuckDB-compat mode (boost gated at jaro>0.7, floored strcmp95
+    transpositions, float64) is bit-identical to DuckDB's
+    jaro_winkler_similarity — including odd mismatch counts (3-cycles)
+    where the textbook half-count diverges."""
+    from mel_ray.functions.strsim import jaro_winkler
+
+    rng = np.random.default_rng(seed)
+    strs = sorted(set(_jw_rand_strings(rng, 120)))
+    # plus adversarial fixed cases: 3-cycle transposition, empty-ish, bound
+    strs += ["abcxxxxx", "bcaxxxxx", "a", "ab", "ba", "hot gizmo", "hot plate"]
+    import itertools
+
+    pairs = list(itertools.combinations(strs, 2))
+    a = pa.array([p[0] for p in pairs])
+    b = pa.array([p[1] for p in pairs])
+    ours = jaro_winkler(
+        a, b, boost_threshold=0.7, floor_transpositions=True, out_dtype=np.float64
+    )
+    con = duckdb.connect()
+    con.register("t", pa.table({"a": a, "b": b}))
+    theirs = np.array(
+        [r[0] for r in con.execute("SELECT jaro_winkler_similarity(a,b) FROM t").fetchall()]
+    )
+    assert (ours == theirs).all(), np.abs(ours - theirs).max()
+
+
+def test_jaro_winkler_legacy_default_unchanged():
+    """The flagship scorer's historical semantics (unconditional boost,
+    half-count transpositions, float32) stay the default."""
+    from mel_ray.functions.strsim import jaro_winkler
+
+    a = pa.array(["hot gizmo", "martha"])
+    b = pa.array(["hot plate", "marhta"])
+    out = jaro_winkler(a, b)
+    assert out.dtype == np.float32
+    # unconditional boost: jaro 0.6296 + 4*0.1*(1-0.6296)
+    assert abs(float(out[0]) - 0.7777778) < 1e-6
+    assert abs(float(out[1]) - 0.9611111) < 1e-6
+
+
+def test_fuzzy_jw_join_matches_duckdb_at_sf(ray_session):
+    from mel_ray.fuzzyjoin import fuzzy_jw_join
+
+    res = fuzzy_jw_join("/root/testdata/sf0.001").to_pandas()
+    res = res.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW part AS SELECT * FROM '/root/testdata/sf0.001/part.parquet'"
+    )
+    exp = con.sql(
+        """
+        WITH p AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        FROM p a JOIN p b
+          ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+         AND a.p_name < b.p_name
+        WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+        ORDER BY name_a, name_b
+        """
+    ).df()
+    assert len(res) == len(exp) and len(res) > 0
+    assert (res["name_a"].to_numpy() == exp["name_a"].to_numpy()).all()
+    assert (res["name_b"].to_numpy() == exp["name_b"].to_numpy()).all()
+    assert (res["jw"].to_numpy() == exp["jw"].to_numpy()).all()  # bit-exact

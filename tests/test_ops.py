@@ -861,3 +861,58 @@ class TestEventAndSampleOps:
         c = grouped_corr(str(d)).to_pandas().set_index("l_returnflag")
         assert np.isnan(c.loc["A", "corr_qty_price"])  # constant y
         assert np.isnan(c.loc["B", "corr_qty_price"])  # constant x
+
+    def test_full_outer_join_matches_duckdb(self):
+        """Both-side null patterns: left-only rows carry acctbal with
+        n_urgent 0, right-only rows carry counts with NULL acctbal."""
+        import duckdb
+
+        from mel_ray.relational import full_outer_join
+
+        got = (
+            full_outer_join(SF)
+            .to_pandas()
+            .sort_values("custkey")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+        con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+        exp = con.sql(
+            """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_acctbal AS acctbal, coalesce(o.n_urgent, 0) AS n_urgent
+            FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+            FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_urgent FROM orders
+                             WHERE o_orderpriority = '1-URGENT' GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY custkey
+            """
+        ).df()
+        assert len(got) == len(exp) > 0
+        assert (got.custkey.to_numpy() == exp.custkey.to_numpy()).all()
+        assert (got.n_urgent.to_numpy() == exp.n_urgent.to_numpy()).all()
+        ga, ea = got.acctbal.to_numpy(), exp.acctbal.to_numpy()
+        assert ((ga == ea) | (np.isnan(ga) & np.isnan(ea))).all()
+        # genuinely both-sided: at least one row null in each direction
+        assert got.acctbal.isna().any() and (got.n_urgent == 0).any()
+
+    def test_grouped_entropy_matches_duckdb(self):
+        import duckdb
+
+        from mel_ray.relational import grouped_entropy
+
+        got = (
+            grouped_entropy(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        exp = con.sql(
+            "SELECT user_id, entropy(event_type) AS ent FROM events "
+            "GROUP BY user_id ORDER BY user_id"
+        ).df()
+        assert len(got) == len(exp) > 0
+        assert (got.user_id.to_numpy() == exp.user_id.to_numpy()).all()
+        assert np.allclose(got.ent.to_numpy(), exp.ent.to_numpy(), atol=1e-9)
+        # sanity: a single-type user would be exactly 0; all are >= 0
+        assert (got.ent.to_numpy() >= 0).all()
