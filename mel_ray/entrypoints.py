@@ -81,7 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top_terms": textops.doc_tfidf_top_terms,
         "doc_quality_filter": textops.doc_quality_filter,
         "doc_length_histogram": textops.doc_length_histogram,
-        "doc_mask_stopwords": textops.doc_mask_stopwords,
+        # string-similarity join family's driver-verified row (the
+        # entity-resolution tier's blocked score-verify shape; the
+        # PassJoin edit-distance variant is local-checked past the window)
+        "fuzzy_jw_join": fuzzyjoin.fuzzy_jw_join,
         # --- similarity search over embeddings (exact members) ---
         "knn_bruteforce": annops.knn_bruteforce,
         "knn_ivf": annops.knn_ivf,
@@ -152,7 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_lsh_pairs": textops.doc_minhash_lsh_pairs,
         "doc_dedup_keep": textops.doc_dedup_keep,
         "fuzzy_lev_join": fuzzyjoin.fuzzy_lev_join,
-        "fuzzy_jw_join": fuzzyjoin.fuzzy_jw_join,
+        "doc_mask_stopwords": textops.doc_mask_stopwords,
         "full_outer_join": relational.full_outer_join,
         "grouped_entropy": relational.grouped_entropy,
         "approx_distinct_count": relational.approx_distinct_count,

@@ -184,8 +184,8 @@ def test_driver_window_holds_oracle_bearing_queries():
         "ntile_per_key",        # bucketed-window family: sessionize/running_sum in window
         "grouped_concat",       # grouped-agg family: grouped_agg/grouped_topk in window
         "grouped_zscore",       # broadcast-stats family: broadcast_join in window
-        "fuzzy_lev_join",       # edit-distance join: PassJoin plan; strsim family in window
-        "fuzzy_jw_join",        # JW-similarity join: blocked score-verify; strsim family in window
+        "fuzzy_lev_join",       # edit-distance join: PassJoin plan; fuzzy_jw_join in window
+        "doc_mask_stopwords",   # r5 rotation out: text-transform family well covered in window
         "full_outer_join",      # join family: hash_join/left_outer_join covered
         "grouped_entropy",      # distribution-stat family: event_type_distribution covered
     }
