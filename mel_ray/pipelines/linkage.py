@@ -62,6 +62,15 @@ def run_linkage(
     cfg = cfg or LinkageConfig()
     from ..util import auto_join_partitions, shuffle_partitions
 
+    # Push-based (pipelined, merge-factor) sort shuffle for the two
+    # band/bucket exchanges: the stage profile (BENCH/BASELINE.md,
+    # round-5 session 2) showed the plain sort's barrier bubbles leave
+    # ~half the cores idle at >=8 CPUs while stage CPU stays constant;
+    # push-based reads 5-8% faster end-to-end at 8/32 CPUs and is
+    # neutral at 2 (measured A/B, same windows, outputs identical —
+    # both shuffles are semantics-preserving physical plans).
+    ray.data.DataContext.get_current().use_push_based_shuffle = True
+
     join_parts = auto_join_partitions(cfg.join_partitions)
     ckpt = StageCheckpointer(
         cfg.checkpoint_dir,
