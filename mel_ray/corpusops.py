@@ -357,3 +357,26 @@ def corpus_boilerplate_lines(sf_dir: str, min_files: int = 3):
         return t.filter(pc.greater_equal(t["n_files"], min_files))
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def linkage_incremental(sf_dir: str):
+    """Daily-ingest demo: the corpus's LAST shard is linked as a delta
+    batch against the base result of the remaining shards
+    (pipelines/linkage.run_linkage_incremental).  Output is the merged
+    cluster table — by the exact-equality contract (pinned in
+    tests/test_linkage.py) it is IDENTICAL to linkage_clusters over the
+    full corpus, so the driver's rows-only check sees the flagship's
+    row count and schema."""
+    from pathlib import Path
+
+    from .pipelines.linkage import run_linkage, run_linkage_incremental
+
+    files = sorted(str(f) for f in Path(_corpus_files(sf_dir)).rglob("*.parquet"))
+    if len(files) < 2:
+        res = _run(sf_dir)
+    else:
+        base = run_linkage(files[:-1], LinkageConfig())
+        res = run_linkage_incremental(base, files[-1:], LinkageConfig())
+    return res.clusters.map_batches(
+        lambda t: t.select(["record_id", "cluster_id", "sha256"]), batch_format="pyarrow"
+    )

@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_capped": lambda sf: annops.knn_bruteforce(sf, max_per_label=20),
         "emb_near_dupes_lsh": annops.emb_near_dupes_lsh,
         "semantic_dedup": annops.semantic_dedup,
+        "linkage_incremental": corpusops.linkage_incremental,
         "sliding_window_counts": streamops.sliding_window_counts,
         "topk_global": relational.topk_global,
         "intersect_distinct": relational.intersect_distinct,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -52,6 +53,10 @@ class LinkageResult:
     clusters: "ray.data.Dataset"          # record_id, cluster_id, repo, path, sha256
     scored_pairs: "ray.data.Dataset"      # id_a, id_b, features..., accepted
     stats: dict[str, Any]
+    # materialized feature table (record_id, sig, emb, repo, path, sha256)
+    # — carried so run_linkage_incremental can link a delta batch against
+    # this result without re-featurizing the base corpus
+    features: "ray.data.Dataset | None" = None
 
 
 def run_linkage(
@@ -179,7 +184,174 @@ def run_linkage(
             broadcast_limit_rows=cfg.clustering.assign_broadcast_limit_rows,
         ),
     )
-    return LinkageResult(clusters=clusters, scored_pairs=scored, stats=ckpt.stats)
+    return LinkageResult(
+        clusters=clusters, scored_pairs=scored, stats=ckpt.stats, features=features
+    )
+
+
+# worker-process-local cache for the broadcast new-id array (same pattern
+# as clustering._LABELS_CACHE: one plasma fetch per worker, not per batch)
+_NEWIDS_CACHE: dict = {}
+
+
+def _new_ids_cached(ref):
+    import ray as _ray
+
+    key = ref.hex()
+    hit = _NEWIDS_CACHE.get(key)
+    if hit is None:
+        hit = _ray.get(ref)
+        _NEWIDS_CACHE.clear()
+        _NEWIDS_CACHE[key] = hit
+    return hit
+
+
+def run_linkage_incremental(
+    base: LinkageResult,
+    new_corpus_path: str,
+    cfg: LinkageConfig | None = None,
+    renames: dict[str, str] | None = None,
+) -> LinkageResult:
+    """Link a DELTA batch of records against an existing linkage result
+    without re-featurizing or re-scoring the base corpus — the daily-
+    ingest operation of a standing 100-TB deduplication pipeline (the
+    reference's analogue is the per-round index refresh of its
+    finetuning loop, ``all_langs_no_slurm.sh``: new data joins a
+    standing KB embedding index, never a from-scratch rebuild).
+
+    EXACT-EQUALITY contract (pinned by ``tests/test_linkage.py``): the
+    output cluster table is IDENTICAL to running :func:`run_linkage` on
+    base ∪ delta from scratch.  Why this holds:
+
+    * candidate generation runs the UNCHANGED band expansion + bucket
+      emission over base ∪ delta features, so stopband drops, salting
+      and per-run caps see the same run lengths and make the same
+      decisions as a full run; pairs are then filtered to those
+      touching ≥1 delta record — exactly the full run's pair set minus
+      base-base pairs;
+    * base-base connectivity is already summarized by the base cluster
+      labels: ``components(closure(E_bb) ∪ E_new) = components(E_bb ∪
+      E_new)``, so feeding (record_id, cluster_id) label edges plus the
+      newly accepted pairs to the SAME connected-components stage
+      reproduces the full run's components, and the min-record-id label
+      convention makes the labels themselves identical.
+
+    Scale shape: the delta is featurized and scored (delta×base and
+    delta×delta pairs only — the quadratic base×base scoring never
+    re-runs); the one full-corpus cost is the band-key exchange over
+    base ∪ delta band rows (linear, same partitioning as the flagship).
+    Base features ride ``LinkageResult.features`` (or a checkpoint's
+    features stage) — content bytes of the base corpus are never
+    re-read."""
+    cfg = cfg or LinkageConfig()
+    import ray as _ray
+
+    from ..stages.blocking import dedup_pairs, expand_bands_batch, _emit_pairs_for_bucket
+    from ..util import auto_join_partitions, shuffle_partitions
+
+    if base.features is None:
+        raise ValueError(
+            "base LinkageResult carries no feature table; run run_linkage() "
+            "(which materializes features) or restore it from a checkpoint"
+        )
+    ray.data.DataContext.get_current().use_push_based_shuffle = True
+    join_parts = auto_join_partitions(cfg.join_partitions)
+
+    new_features = I.ingest(I.read_corpus(new_corpus_path), renames=renames).map_batches(
+        lambda b: B.featurize_batch(
+            b, cfg.blocking, cfg.scoring.embed_dim, cfg.scoring.embed_kgram
+        ),
+        batch_format="pyarrow",
+        batch_size=128,
+        zero_copy_batch=True,
+    ).materialize()
+    all_features = base.features.union(new_features).materialize()
+
+    # broadcast the sorted delta-id array (worker assembly task; the
+    # driver only holds the ref — same discipline as assign_clusters)
+    def _assemble_ids(*parts):
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        import pyarrow as _pa
+
+        ids = np.concatenate(
+            [t["record_id"].to_numpy(zero_copy_only=False) for t in parts]
+        )
+        return np.sort(ids)
+
+    ids_ref = _ray.remote(num_cpus=0.25)(_assemble_ids).remote(
+        *new_features.to_arrow_refs()
+    )
+
+    # same pair semantics as candidate_pairs (granularity rule included),
+    # with a touching-delta filter BEFORE the dedup exchange so base-base
+    # pairs never enter the second shuffle
+    n_buckets = min(cfg.blocking.num_buckets, 8 * shuffle_partitions())
+    bands = all_features.map_batches(
+        lambda b: expand_bands_batch(b, cfg.blocking, num_buckets=n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).repartition(shuffle_partitions())
+    grouped = bands.groupby("bucket").map_groups(
+        lambda g: _emit_pairs_for_bucket(g, cfg.blocking),
+        batch_format="pyarrow",
+    )
+
+    def touch_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.compute.not_equal(t["id_a"], pa.scalar(-1, pa.int64()))
+        ).select(["id_a", "id_b"])
+        ids = _new_ids_cached(ids_ref)
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+
+        def isin(x):
+            pos = np.searchsorted(ids, x)
+            pos = np.minimum(pos, max(len(ids) - 1, 0))
+            return (len(ids) > 0) & (ids[pos] == x)
+
+        return t.filter(pa.array(isin(a) | isin(b)))
+
+    pairs = dedup_pairs(
+        grouped.map_batches(touch_filter, batch_format="pyarrow"),
+        cfg.blocking.num_buckets,
+        coalesce=False,
+    )
+    scored = S.score_pairs_auto(
+        pairs, all_features, cfg.scoring, cfg.blocking, join_parts, fan_out=False
+    ).materialize()
+
+    new_edges = scored.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["accepted"], True))
+        .select(["id_a", "id_b"])
+        .rename_columns(["u", "v"]),
+        batch_format="pyarrow",
+    )
+    # base connectivity as label edges (singletons need no edge: their
+    # record_id == cluster_id rows are dropped, they re-singleton via
+    # assign_clusters)
+    def _label_edges(t: pa.Table) -> pa.Table:
+        e = t.select(["cluster_id", "record_id"]).rename_columns(["u", "v"])
+        return e.filter(pa.compute.not_equal(e["u"], e["v"]))
+
+    base_edges = base.clusters.map_batches(_label_edges, batch_format="pyarrow")
+    comp = C.connected_components(new_edges.union(base_edges), cfg.clustering)
+    slim = all_features.map_batches(
+        lambda t: t.select(["record_id", "repo", "path", "sha256"]),
+        batch_format="pyarrow",
+    )
+    clusters = C.assign_clusters(
+        slim,
+        comp,
+        join_parts,
+        broadcast_limit_rows=cfg.clustering.assign_broadcast_limit_rows,
+    )
+    return LinkageResult(
+        clusters=clusters,
+        scored_pairs=scored,
+        stats={"incremental": True, "new_rows": new_features.count()},
+        features=all_features,
+    )
 
 
 def cluster_representatives(

@@ -175,3 +175,48 @@ def test_partitioned_scoring_path_matches_broadcast(tiny_corpus):
         bv, pv = b_pairs[col].to_numpy(), p_pairs[col].to_numpy()
         assert (bv == pv).all(), f"column {col} diverges between scoring paths"
     assert b_clusters == p_clusters
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_linkage_equals_full_run(tiny_corpus):
+    """Daily-ingest contract: linking a delta batch against a base
+    result (run_linkage_incremental) produces a cluster table IDENTICAL
+    to a from-scratch run over base ∪ delta — same pair decisions (the
+    band/salt/cap semantics see the same run lengths) and same labels
+    (base connectivity enters as label edges; min-id labeling is
+    closure-invariant)."""
+    from pathlib import Path
+
+    from mel_ray.pipelines.linkage import run_linkage, run_linkage_incremental
+
+    files = sorted(str(f) for f in (Path(tiny_corpus) / "files").rglob("*.parquet"))
+    assert len(files) >= 2, "need at least two shards to split base/delta"
+    base_files, delta_files = files[:-1], files[-1:]
+
+    full = run_linkage(str(tiny_corpus / "files"))
+    base = run_linkage(base_files)
+    inc = run_linkage_incremental(base, delta_files)
+
+    want = (
+        full.clusters.to_pandas()[["record_id", "cluster_id"]]
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        inc.clusters.to_pandas()[["record_id", "cluster_id"]]
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.record_id.to_numpy() == want.record_id.to_numpy()).all()
+    assert (got.cluster_id.to_numpy() == want.cluster_id.to_numpy()).all()
+
+    # the incremental scored set touches the delta only: every scored
+    # pair has at least one member absent from the base feature table
+    base_ids = set(
+        base.features.to_pandas()["record_id"].to_numpy().tolist()
+    )
+    sp = inc.scored_pairs.to_pandas()
+    assert len(sp) > 0
+    touches_delta = (~sp.id_a.isin(base_ids)) | (~sp.id_b.isin(base_ids))
+    assert touches_delta.all()
