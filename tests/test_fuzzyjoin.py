@@ -150,6 +150,19 @@ def test_jaro_winkler_duckdb_parity_bitexact(seed):
     strs = sorted(set(_jw_rand_strings(rng, 120)))
     # plus adversarial fixed cases: 3-cycle transposition, empty-ish, bound
     strs += ["abcxxxxx", "bcaxxxxx", "a", "ab", "ba", "hot gizmo", "hot plate"]
+    # longer strings (17-64 chars) exercise the BIT-PARALLEL Jaro kernel
+    # with the parity flags (the short names above stay on the matrix path)
+    alpha = list("abcdefgh/._ ")
+    for _ in range(40):
+        L = int(rng.integers(17, 60))
+        s = "".join(rng.choice(alpha) for _ in range(L))
+        strs.append(s)
+        t = list(s)  # planted near-dup: swap two positions + one sub
+        i, j = rng.integers(0, L, size=2)
+        t[i], t[j] = t[j], t[i]
+        t[int(rng.integers(0, L))] = str(rng.choice(alpha))
+        strs.append("".join(t))
+    strs = sorted(set(strs))
     import itertools
 
     pairs = list(itertools.combinations(strs, 2))
