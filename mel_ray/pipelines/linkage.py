@@ -37,10 +37,13 @@ def _input_shard_groups(corpus_path: str, max_partitions: int = 16) -> list[list
     per-pipeline scheduling overhead when the input has many shards)."""
     from pathlib import Path
 
-    p = Path(corpus_path)
-    if not p.is_dir():
-        return None
-    shards = sorted(str(f) for f in p.rglob("*.parquet"))
+    if isinstance(corpus_path, (list, tuple)):
+        shards = sorted(str(f) for f in corpus_path)
+    else:
+        p = Path(corpus_path)
+        if not p.is_dir():
+            return None
+        shards = sorted(str(f) for f in p.rglob("*.parquet"))
     if len(shards) < 2:
         return None
     n = min(max_partitions, len(shards))
@@ -372,3 +375,33 @@ def cluster_representatives(
 
 def cluster_sizes(clusters: "ray.data.Dataset") -> "ray.data.Dataset":
     return clusters.groupby("cluster_id").count()
+
+
+def load_result_from_checkpoint(checkpoint_dir: str) -> LinkageResult:
+    """Rehydrate a :class:`LinkageResult` from a checkpointed run's stage
+    Parquet (state/manifest.py layout: ``<dir>/<stage>/data``) — the
+    disk-backed base a standing ingest pipeline hands to
+    :func:`run_linkage_incremental` after a restart.  Only the stages
+    incremental needs are required (``features`` + ``clusters``);
+    ``scored`` rides along when present."""
+    from pathlib import Path
+
+    from ..util import read_parquet_clean
+
+    root = Path(checkpoint_dir)
+    need = {}
+    for stage in ("features", "clusters"):
+        data = root / stage / "data"
+        if not (root / stage / "manifest.json").exists() or not data.is_dir():
+            raise FileNotFoundError(
+                f"checkpoint at {checkpoint_dir} has no committed '{stage}' stage"
+            )
+        need[stage] = read_parquet_clean(str(data))
+    scored_dir = root / "scored" / "data"
+    scored = read_parquet_clean(str(scored_dir)) if scored_dir.is_dir() else None
+    return LinkageResult(
+        clusters=need["clusters"],
+        scored_pairs=scored,
+        stats={"restored_from": str(root)},
+        features=need["features"],
+    )

@@ -30,7 +30,14 @@ import ray.data
 
 def _input_fingerprint(paths: list[str]) -> str:
     parts = []
+    flat: list[str] = []
     for p in paths:
+        # an input may itself be a shard LIST (run_linkage over explicit files)
+        if isinstance(p, (list, tuple)):
+            flat.extend(str(x) for x in p)
+        else:
+            flat.append(p)
+    for p in flat:
         p = Path(p)
         if p.is_file():
             st = p.stat()

@@ -220,3 +220,44 @@ def test_incremental_linkage_equals_full_run(tiny_corpus):
     assert len(sp) > 0
     touches_delta = (~sp.id_a.isin(base_ids)) | (~sp.id_b.isin(base_ids))
     assert touches_delta.all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_from_checkpoint_equals_full_run(tiny_corpus, tmp_path):
+    """Restart story: the base result is rehydrated from a CHECKPOINTED
+    run's stage parquet (load_result_from_checkpoint) and the delta is
+    merged incrementally — output identical to a from-scratch run over
+    base ∪ delta (the run_linkage_job --delta path)."""
+    from pathlib import Path
+
+    from mel_ray.config import LinkageConfig
+    from mel_ray.pipelines.linkage import (
+        load_result_from_checkpoint,
+        run_linkage,
+        run_linkage_incremental,
+    )
+
+    files = sorted(str(f) for f in (Path(tiny_corpus) / "files").rglob("*.parquet"))
+    base_files, delta_files = files[:-1], files[-1:]
+
+    # checkpointed base run, then restore purely from disk
+    run_linkage(base_files, LinkageConfig(checkpoint_dir=str(tmp_path / "ck")))
+    base = load_result_from_checkpoint(str(tmp_path / "ck"))
+    assert base.features is not None and base.clusters is not None
+
+    inc = run_linkage_incremental(base, delta_files)
+    full = run_linkage(str(tiny_corpus / "files"))
+
+    want = (
+        full.clusters.to_pandas()[["record_id", "cluster_id"]]
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        inc.clusters.to_pandas()[["record_id", "cluster_id"]]
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.record_id.to_numpy() == want.record_id.to_numpy()).all()
+    assert (got.cluster_id.to_numpy() == want.cluster_id.to_numpy()).all()

@@ -39,6 +39,13 @@ def main() -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--output", default="/tmp/mel_ray_out/clusters")
     ap.add_argument("--labeled-pairs", default=None)
+    ap.add_argument(
+        "--delta",
+        default=None,
+        help="parquet dir/file of NEW records to link incrementally against "
+        "the base result restored from --checkpoint-dir (daily-ingest mode; "
+        "output clusters are identical to a from-scratch run over base+delta)",
+    )
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     args = ap.parse_args()
 
@@ -63,7 +70,11 @@ def main() -> int:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from mel_ray.config import LinkageConfig
-    from mel_ray.pipelines.linkage import run_linkage
+    from mel_ray.pipelines.linkage import (
+        load_result_from_checkpoint,
+        run_linkage,
+        run_linkage_incremental,
+    )
 
     corpus = args.corpus
     labeled = args.labeled_pairs
@@ -78,7 +89,15 @@ def main() -> int:
 
     cfg = LinkageConfig(checkpoint_dir=args.checkpoint_dir)
     t0 = time.time()
-    res = run_linkage(corpus, cfg)
+    if args.delta:
+        if not args.checkpoint_dir:
+            ap.error("--delta requires --checkpoint-dir (the base to restore)")
+        base = load_result_from_checkpoint(args.checkpoint_dir)
+        res = run_linkage_incremental(
+            base, args.delta, LinkageConfig()  # incremental merge itself streams
+        )
+    else:
+        res = run_linkage(corpus, cfg)
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
     res.clusters.write_parquet(str(out_dir))
