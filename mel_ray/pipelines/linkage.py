@@ -405,3 +405,65 @@ def load_result_from_checkpoint(checkpoint_dir: str) -> LinkageResult:
         stats={"restored_from": str(root)},
         features=need["features"],
     )
+
+
+def save_result_checkpoint(res: LinkageResult, checkpoint_dir: str) -> dict:
+    """Commit a (possibly incrementally-merged) result as a NEW base
+    checkpoint that :func:`load_result_from_checkpoint` can restore —
+    the write-back half of the daily-ingest loop: base ⊕ delta₁ is
+    committed, then delta₂ links against it, and so on (chaining is
+    exact: see the two-delta associativity test in tests/test_linkage.py).
+
+    Same atomic layout as StageCheckpointer.through: data lands in a
+    temp dir, one rename per stage is the commit point, manifest last.
+    The fingerprint records the result's provenance dict rather than an
+    input path list (an incremental base has no single input dir)."""
+    import hashlib
+    import json
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    root = Path(checkpoint_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    fingerprint = hashlib.sha256(
+        repr(sorted(res.stats.items(), key=lambda kv: kv[0])).encode()
+    ).hexdigest()[:16]
+    out: dict = {}
+    stages = {"features": res.features, "clusters": res.clusters}
+    if res.scored_pairs is not None:
+        stages["scored"] = res.scored_pairs
+    for name, ds in stages.items():
+        if ds is None:
+            raise ValueError(f"result carries no '{name}' dataset")
+        stage_dir = root / name
+        data_dir = stage_dir / "data"
+        tmp = stage_dir / ".tmp-data"
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        tmp.mkdir(parents=True, exist_ok=True)
+        t0 = time.time()
+        ds.write_parquet(str(tmp))
+        partitions, total = [], 0
+        for f in sorted(tmp.glob("*.parquet")):
+            rows = pq.read_metadata(f).num_rows
+            partitions.append({"file": f.name, "rows": rows, "done": True})
+            total += rows
+        os.rename(tmp, data_dir)
+        (stage_dir / "manifest.json").write_text(
+            json.dumps(
+                {
+                    "stage": name,
+                    "input_fingerprint": fingerprint,
+                    "row_count": total,
+                    "partitions": partitions,
+                    "wall_sec": round(time.time() - t0, 3),
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+        out[name] = total
+    return out

@@ -261,3 +261,46 @@ def test_incremental_from_checkpoint_equals_full_run(tiny_corpus, tmp_path):
     assert len(got) == len(want)
     assert (got.record_id.to_numpy() == want.record_id.to_numpy()).all()
     assert (got.cluster_id.to_numpy() == want.cluster_id.to_numpy()).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_chain_two_deltas_equals_full_run(tiny_corpus, tmp_path):
+    """Daily-ingest chaining: base ⊕ delta₁ is committed back to disk
+    (save_result_checkpoint), delta₂ links against the restored merge —
+    the final clusters equal a from-scratch run over ALL shards (the
+    merge is associative because each step preserves the exact-equality
+    contract)."""
+    from pathlib import Path
+
+    from mel_ray.pipelines.linkage import (
+        load_result_from_checkpoint,
+        run_linkage,
+        run_linkage_incremental,
+        save_result_checkpoint,
+    )
+
+    files = sorted(str(f) for f in (Path(tiny_corpus) / "files").rglob("*.parquet"))
+    assert len(files) >= 3, "need three shards for a two-delta chain"
+    base_files, d1, d2 = files[:-2], files[-2:-1], files[-1:]
+
+    base = run_linkage(base_files)
+    step1 = run_linkage_incremental(base, d1)
+    written = save_result_checkpoint(step1, str(tmp_path / "merged"))
+    assert written["features"] == written["clusters"] > 0
+    restored = load_result_from_checkpoint(str(tmp_path / "merged"))
+    step2 = run_linkage_incremental(restored, d2)
+
+    full = run_linkage(str(tiny_corpus / "files"))
+    want = (
+        full.clusters.to_pandas()[["record_id", "cluster_id"]]
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        step2.clusters.to_pandas()[["record_id", "cluster_id"]]
+        .sort_values("record_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.record_id.to_numpy() == want.record_id.to_numpy()).all()
+    assert (got.cluster_id.to_numpy() == want.cluster_id.to_numpy()).all()

@@ -46,6 +46,12 @@ def main() -> int:
         "the base result restored from --checkpoint-dir (daily-ingest mode; "
         "output clusters are identical to a from-scratch run over base+delta)",
     )
+    ap.add_argument(
+        "--commit-checkpoint",
+        default=None,
+        help="after an incremental merge, write the MERGED result back as a "
+        "new base checkpoint at this dir (the next --delta chains against it)",
+    )
     ap.add_argument("--num-cpus", type=int, default=None, help="local mode only")
     args = ap.parse_args()
 
@@ -74,6 +80,7 @@ def main() -> int:
         load_result_from_checkpoint,
         run_linkage,
         run_linkage_incremental,
+        save_result_checkpoint,
     )
 
     corpus = args.corpus
@@ -96,6 +103,8 @@ def main() -> int:
         res = run_linkage_incremental(
             base, args.delta, LinkageConfig()  # incremental merge itself streams
         )
+        if args.commit_checkpoint:
+            res.stats["committed"] = save_result_checkpoint(res, args.commit_checkpoint)
     else:
         res = run_linkage(corpus, cfg)
     out_dir = Path(args.output)
